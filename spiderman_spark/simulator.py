@@ -1,0 +1,281 @@
+"""Single-threaded reference simulator — the crawl-semantics oracle.
+
+Implements the *deterministic skeleton* of the reference's scrapy-redis crawl
+loop (SURVEY.md §4.1), with no Spark and no network, so the Spark engine can be
+checked bit-for-bit against it:
+
+- FIFO frontier: RPUSH/LPOP list semantics (`SP/utils/ctrl_redis.py:21-33,59-75`,
+  BFS per `README.md:103`); seeds in generation order, children appended in
+  parse (DOM) order within a page (`SP/spiders/zhifang.py:80-96`).
+- Dedup gate: canonical-URL fingerprint set consulted iff the callback's
+  ``dont_filter`` is False (`SP/spiders/SPRedisSpider.py:35-44`,
+  `SP/spiders/zhifang.py:55-61`; the zhifang demo runs with dont_filter=True
+  for both callbacks — the registry is configurable here exactly as there).
+- Politeness: per-host fetch budget per round, modeling
+  CONCURRENT_REQUESTS_PER_DOMAIN / DOWNLOAD_DELAY (`SP/settings.py:126-135`).
+  Requests over budget keep their FIFO position for the next round.
+- Retry: HTTP code in RETRY_HTTP_CODES or body_size < MINSIZE → re-attempt next
+  round keeping the original seq, at most ``retry_times`` retries
+  (`SP/settings.py:121-124`, `SP/middlewares/SPMiddleWare.py:136-157`).
+- Termination: loop ends when no pending requests remain — the exact analogue
+  of the idle-close extension (`SP/scrapy_redis_extensions.py:63-78`) without
+  the wall-clock dependence.
+
+The simulator also models the decoupled attachment downloader
+(`download.py:51-186`) as a second, childless crawl over the file-meta rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from urllib.parse import urljoin
+
+from .corpusgen import RETRY_HTTP_CODES, host_of
+
+# callback registry: name -> dont_filter (True = skip dedup), as in
+# SP/spiders/zhifang.py:55-61.  'file' covers the downloader phase.
+DEFAULT_CALLBACKS = {"list": True, "detail": True, "file": False}
+
+
+@dataclass
+class Politeness:
+    max_per_round: int = 8  # per-host fetch budget per frontier round
+    retry_times: int = 3  # max retries after the first attempt
+    minsize: int = 64  # SizeRetryMiddleWare MINSIZE
+    per_host: dict = field(default_factory=dict)  # host -> override budget
+
+    def budget(self, host: str) -> int:
+        return self.per_host.get(host, self.max_per_round)
+
+
+def canonical(url: str) -> str:
+    """Canonical URL for fingerprinting (w3lib-lite): lowercase scheme+host,
+    drop fragment, strip trailing '?' — mirrors scrapy's
+    request_fingerprint canonicalization closely enough for synthetic URLs."""
+    url = url.split("#", 1)[0].rstrip("?")
+    if "://" in url:
+        scheme, rest = url.split("://", 1)
+        if "/" in rest:
+            netloc, path = rest.split("/", 1)
+            return f"{scheme.lower()}://{netloc.lower()}/{path}"
+        return f"{scheme.lower()}://{rest.lower()}"
+    return url
+
+
+def fingerprint(method: str, url: str) -> str:
+    """Request fingerprint = sha1(method + canonical url), mirroring
+    scrapy-redis RFPDupeFilter (SP/settings.py:103)."""
+    return hashlib.sha1(f"{method}:{canonical(url)}".encode()).hexdigest()
+
+
+@dataclass
+class SimRequest:
+    seq: int
+    url: str
+    method: str = "GET"
+    callback: str = "list"
+    meta: dict = field(default_factory=dict)
+    attempt: int = 0
+
+
+@dataclass
+class SimResult:
+    crawl_order: list  # [(rank, round, url, host, attempt)]
+    url_seen: set  # fingerprints admitted past the dedup gate
+    seen_urls: set  # canonical urls admitted (for readable asserts)
+    items: dict  # tablename -> list[dict]
+    fetch_counts: dict  # (round, host) -> n
+    failed: list  # [(url, reason)] exhausted retries
+    rounds: int
+
+
+def parse_body(url: str, body: str) -> tuple[list[tuple[str, dict]], list[dict]]:
+    """The oracle-side parse: JSON body → (items, child request dicts).
+
+    Mirrors list_parse/detail_parse (`SP/spiders/zhifang.py:63-132`): list
+    pages yield one zhifang_list item + one detail request per row; detail
+    pages yield one zhifang_detail item + one zhifang_file item per image
+    (images become *file items*, not frontier requests)."""
+    doc = json.loads(body)
+    items: list[tuple[str, dict]] = []
+    children: list[dict] = []
+    if doc["kind"] == "list":
+        for row in doc["rows"]:
+            full = urljoin(url, row["detail_url"])
+            pkey = hashlib.md5(full.encode()).hexdigest().upper()
+            items.append(
+                (
+                    "zhifang_list",
+                    {
+                        "title": row["title"],
+                        "desc": row["desc"],
+                        "location": row["location"],
+                        "price": row["price"],
+                        "detail_full_url": full,
+                        "pkey": pkey,
+                        "pagenum": str(doc["pagenum"]),
+                    },
+                )
+            )
+            children.append(
+                {
+                    "url": full,
+                    "method": "GET",
+                    "callback": "detail",
+                    "meta": {"fkey": pkey, "pagenum": str(doc["pagenum"])},
+                }
+            )
+    elif doc["kind"] == "detail":
+        fkey = hashlib.md5(url.encode()).hexdigest().upper()
+        row = dict(doc["fields"])
+        row.update({"fkey": fkey})
+        items.append(("zhifang_detail", row))
+        for img_rel in doc["image_urls"]:
+            full = urljoin(url, img_rel)
+            items.append(
+                (
+                    "zhifang_file",
+                    {
+                        "file_url": full,
+                        "file_type": full.rsplit(".", 1)[-1],
+                        "file_name": full.rsplit("/", 1)[-1],
+                        "status": "未下载",
+                        "file_path": "",
+                        "fkey": fkey,
+                    },
+                )
+            )
+    return items, children
+
+
+def simulate_crawl(
+    corpus: dict,
+    seeds: list[dict],
+    politeness: Politeness | None = None,
+    callbacks: dict | None = None,
+) -> SimResult:
+    """Run the scrapy-redis deterministic skeleton to frontier exhaustion.
+
+    ``corpus``: url -> corpus_row dict.  ``seeds``: ordered request dicts.
+    """
+    pol = politeness or Politeness()
+    cbs = callbacks if callbacks is not None else DEFAULT_CALLBACKS
+    seen: set[str] = set()
+    seen_urls: set[str] = set()
+    pending: list[SimRequest] = []
+    next_seq = 0
+    crawl_order, failed = [], []
+    items: dict[str, list] = {}
+    fetch_counts: dict = {}
+    rank = 0
+
+    def admit(req_dict: dict, attempt: int = 0) -> None:
+        nonlocal next_seq
+        cb = req_dict.get("callback", "list")
+        dont_filter = cbs.get(cb, False)
+        fp = fingerprint(req_dict.get("method", "GET"), req_dict["url"])
+        if not dont_filter:
+            if fp in seen:
+                return
+            seen.add(fp)
+            seen_urls.add(canonical(req_dict["url"]))
+        pending.append(
+            SimRequest(
+                seq=next_seq,
+                url=req_dict["url"],
+                method=req_dict.get("method", "GET"),
+                callback=cb,
+                meta=dict(req_dict.get("meta") or {}),
+                attempt=attempt,
+            )
+        )
+        next_seq += 1
+
+    for s in seeds:
+        admit(s)
+
+    rnd = 0
+    while pending:
+        rnd += 1
+        pending.sort(key=lambda r: r.seq)
+        taken_per_host: dict[str, int] = {}
+        eligible, deferred = [], []
+        for req in pending:
+            host = host_of(req.url)
+            if taken_per_host.get(host, 0) < pol.budget(host):
+                taken_per_host[host] = taken_per_host.get(host, 0) + 1
+                eligible.append(req)
+            else:
+                deferred.append(req)
+        pending = deferred
+        retries: list[SimRequest] = []
+        for req in eligible:
+            host = host_of(req.url)
+            rank += 1
+            crawl_order.append((rank, rnd, req.url, host, req.attempt))
+            fetch_counts[(rnd, host)] = fetch_counts.get((rnd, host), 0) + 1
+            row = corpus.get(req.url)
+            ok = (
+                row is not None
+                and row["http_status"] == 200
+                and row["body_size"] >= pol.minsize
+            )
+            if not ok:
+                retryable = row is not None and (
+                    row["http_status"] in RETRY_HTTP_CODES
+                    or row["body_size"] < pol.minsize
+                )
+                if retryable and req.attempt < pol.retry_times:
+                    req.attempt += 1
+                    retries.append(req)  # keeps original seq → FIFO priority
+                else:
+                    failed.append((req.url, "exhausted" if retryable else "missing"))
+                continue
+            if req.callback in ("list", "detail"):
+                new_items, children = parse_body(req.url, row["body"])
+                for tb, it in new_items:
+                    items.setdefault(tb, []).append(it)
+                for child in children:
+                    admit(child)
+            else:  # 'file' downloader phase: no children, success recorded
+                items.setdefault("_downloaded", []).append(
+                    {"url": req.url, "attempt": req.attempt}
+                )
+        pending.extend(retries)
+
+    return SimResult(
+        crawl_order=crawl_order,
+        url_seen=seen,
+        seen_urls=seen_urls,
+        items=items,
+        fetch_counts=fetch_counts,
+        failed=failed,
+        rounds=rnd,
+    )
+
+
+def make_seeds(spec, pages: int | None = None) -> list[dict]:
+    """Seed generator mirroring make_job (`SP_JOBS/zhifang_job.py:27-41`)."""
+    from . import corpusgen
+
+    pages = pages or spec.list_pages
+    return [
+        {
+            "url": corpusgen.list_url(spec, p),
+            "method": "GET",
+            "callback": "list",
+            "meta": {"pagenum": str(p)},
+        }
+        for p in range(1, pages + 1)
+    ]
+
+
+def corpus_as_dict(spec) -> dict:
+    from . import corpusgen
+
+    return {
+        r["url"]: r
+        for r in (corpusgen.corpus_row(spec, *k) for k in corpusgen.iter_keys(spec))
+    }
