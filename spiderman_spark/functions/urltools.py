@@ -1,0 +1,79 @@
+"""URL canonicalization + request fingerprinting — shared by the Spark engine
+and the reference simulator so dedup semantics match bit-for-bit.
+
+Reference parity: scrapy-redis RFPDupeFilter computes sha1 over
+(method, canonical url, body) — `SP/settings.py:103` pins
+scrapy_redis==0.6.8 whose filter delegates to scrapy's
+request_fingerprint.  We reproduce the skeleton (sha1 over
+method + canonicalized URL; our synthetic requests carry no body) and keep the
+whole thing a pure function so it can run driver-side (simulator) and inside
+Arrow-vectorized pandas UDFs (engine) unchanged.
+
+Scale note: the persistent URL-seen table is keyed by ``xxhash64(canonical)``
+(8 bytes vs 40-hex sha1) per the north rule; the sha1 fingerprint column is
+retained for reference parity. Both derive from the same canonical form.
+"""
+
+# NOTE: no `from __future__ import annotations` here — stringified type hints
+# break pandas_udf signature inference inside register_udfs().
+import hashlib
+from urllib.parse import urljoin as _urljoin
+
+
+def canonical(url: str) -> str:
+    """w3lib-lite canonicalization: lowercase scheme+netloc, drop fragment,
+    strip a bare trailing '?'.  Sufficient for the synthetic URL space; the
+    rule set is centralized here so widening it changes every consumer."""
+    url = url.split("#", 1)[0].rstrip("?")
+    if "://" in url:
+        scheme, rest = url.split("://", 1)
+        if "/" in rest:
+            netloc, path = rest.split("/", 1)
+            return f"{scheme.lower()}://{netloc.lower()}/{path}"
+        return f"{scheme.lower()}://{rest.lower()}"
+    return url
+
+
+def fingerprint(method: str, url: str) -> str:
+    """sha1(method + ':' + canonical url) hexdigest — the dedup key."""
+    return hashlib.sha1(f"{method}:{canonical(url)}".encode()).hexdigest()
+
+
+def urljoin(base: str, link: str) -> str:
+    """Resolve a possibly-relative link against the response URL (F10,
+    `SP/spiders/zhifang.py:76,125` response.urljoin)."""
+    return _urljoin(base, link)
+
+
+def host_of(url: str) -> str:
+    return url.split("/", 3)[2] if "://" in url else url.split("/", 1)[0]
+
+
+# ------------------------------------------------------------ pandas UDFs
+
+def register_udfs():
+    """Column-level vectorized versions. Imported lazily so the pure functions
+    above stay usable without pyspark on the path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def canonical_udf(urls: pd.Series) -> pd.Series:
+        return urls.map(canonical)
+
+    @F.pandas_udf(StringType())
+    def fingerprint_udf(methods: pd.Series, urls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fingerprint(m, u) for m, u in zip(methods, urls)], dtype="object"
+        )
+
+    @F.pandas_udf(StringType())
+    def urljoin_udf(bases: pd.Series, links: pd.Series) -> pd.Series:
+        return pd.Series([_urljoin(b, l) for b, l in zip(bases, links)], dtype="object")
+
+    return {
+        "canonical": canonical_udf,
+        "fingerprint": fingerprint_udf,
+        "urljoin": urljoin_udf,
+    }

@@ -1,0 +1,338 @@
+"""CrawlEngine — the scrapy-redis crawl loop as deterministic DataFrame rounds.
+
+Reference lifecycle (SURVEY.md §3.1): seeds → Redis FIFO frontier → workers
+pop/fetch/parse/push until the queue idles out.  Here each *round* is one
+micro-batch over the ``frontier`` table:
+
+    pending ──politeness──▶ eligible ──fetch join──▶ ok / retry / failed
+       ▲                                   │
+       │                                parse (mapInPandas)
+       │                                   │
+    deferred ∪ retries ∪ admitted ◀──dedup gate──── child requests
+                                           └──▶ items_raw, crawl_order,
+                                                url_seen, metrics (appends)
+
+Determinism contract (SURVEY.md §4.1): fetch order is (round, seq); children
+get seq in (parent_seq, child_idx) order; retries keep their original seq;
+politeness picks the first B pending per host by seq.  All of it matches the
+single-threaded simulator bit-for-bit — that is the correctness gate
+(BASELINE.json: "crawl ordering and URL-seen set must match").
+
+Scale posture (the parts that matter at a 10^10-row frontier):
+- fetch = ``corpus ⋈ broadcast(eligible)``: the per-round batch is small by
+  construction (≤ hosts × budget), so the big corpus is NEVER shuffled; one
+  scan per round with the join key pushed into it.
+- politeness = two-phase salted top-B (operators/politeness.py) — no single
+  reducer owns the mega-host.
+- dedup = left_anti against the url_seen table on a fixed-width key; the
+  optional Bloom pre-filter (operators/bloom.py) cuts the anti-join's probe
+  side before it shuffles.
+- per-round state lives in parquet snapshots (TableIO) — lineage is cut every
+  round, crashes roll back to the last checkpoint, and resume is a manifest
+  read (north rule: resumable from snapshot checkpoints with lineage+metrics).
+
+The two global windows (rank assignment, child seq assignment) run on
+*one round's* eligible/children rows only — bounded by politeness budget, not
+frontier size.  (If a single round's children outgrow one task, the same
+order key (parent_seq, child_idx) supports a range-partitioned two-phase
+rank; kept simple here since budget bounds the batch.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..corpusgen import RETRY_HTTP_CODES
+from ..operators import politeness
+from ..operators.parse import items_of, parse_pages, requests_of
+from ..parselib import ITEM_TABLES, PAGE_CALLBACKS
+from ..tableio import Catalog
+
+FRONTIER_DDL = (
+    "seq long, url string, host string, method string, callback string,"
+    " meta_json string, attempt int"
+)
+URL_SEEN_DDL = "fp string, url_hash long, url string"
+CRAWL_ORDER_DDL = "rank long, round int, url string, host string, attempt int"
+FAILED_DDL = "url string, reason string, attempt int, round int"
+METRICS_DDL = "round int, host string, n long"
+
+STATE_TABLES = ("frontier", "url_seen", "crawl_order", "items_raw", "failed", "metrics")
+
+
+@dataclass
+class CrawlConfig:
+    # zhifang demo defaults: both page callbacks skip the dupefilter
+    # (`SP/spiders/zhifang.py:55-61`, True = dont_filter)
+    callbacks: dict = field(default_factory=lambda: {"list": True, "detail": True})
+    default_budget: int = 8  # per-host fetches per round (T3)
+    retry_times: int = 3  # SP/settings.py:122
+    minsize: int = 64  # SizeRetryMiddleWare threshold
+    salt_buckets: int = 16
+    broadcast_eligible: bool = True  # per-round batch ⋘ corpus ⇒ broadcast it
+    bizdate: str = "20240101"  # injected clock (SURVEY.md §7.3.2)
+    ctime: str = "2024-01-01 00:00:00"
+    spider: str = "zhifang"
+    max_rounds: int = 100000
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        workdir: str,
+        config: CrawlConfig | None = None,
+        budgets: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.corpus = corpus.select("url", "http_status", "body", "body_size")
+        self.catalog = Catalog(spark, workdir)
+        self.budgets = budgets
+        self.round = 0
+        self.next_seq = 0
+        self.rank_base = 0
+        self._ckpt_path = os.path.join(workdir, "checkpoint.json")
+
+    # ------------------------------------------------------------ lifecycle
+
+    def seed(self, seeds: list[dict]) -> None:
+        """Fresh crawl: reset state tables and enqueue seeds in order —
+        the analogue of key deletion + reqs_push (`SP_JOBS/job.py:38,75-77`)."""
+        rows = [
+            (
+                i,
+                s["url"],
+                s["url"].split("/", 3)[2],
+                s.get("method", "GET"),
+                s.get("callback", "list"),
+                json.dumps(s.get("meta", {})),
+                0,
+            )
+            for i, s in enumerate(seeds)
+        ]
+        for t in STATE_TABLES:
+            self.catalog.table(t).replace_empty()
+        self.catalog.table("frontier").replace(
+            self.spark.createDataFrame(rows, FRONTIER_DDL)
+        )
+        self.round, self.next_seq, self.rank_base = 0, len(rows), 0
+        self._checkpoint()
+
+    def _checkpoint(self, lineage: dict | None = None) -> None:
+        state = {
+            "round": self.round,
+            "next_seq": self.next_seq,
+            "rank_base": self.rank_base,
+            "versions": {t: self.catalog.table(t).current_version() for t in STATE_TABLES},
+            "lineage": lineage or {},
+        }
+        tmp = self._ckpt_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.rename(tmp, self._ckpt_path)
+
+    def resume(self) -> bool:
+        """Reopen the last committed round: roll every table back to its
+        checkpointed snapshot (orphaned partial-round appends vanish)."""
+        if not os.path.exists(self._ckpt_path):
+            return False
+        with open(self._ckpt_path) as fh:
+            state = json.load(fh)
+        for t, v in state["versions"].items():
+            tb = self.catalog.table(t)
+            if tb.current_version() != v:
+                tb.rollback_to(v)
+        self.round = state["round"]
+        self.next_seq = state["next_seq"]
+        self.rank_base = state["rank_base"]
+        return True
+
+    # ------------------------------------------------------------ one round
+
+    def _read(self, name: str, ddl: str) -> DataFrame:
+        return self.catalog.read_or_empty(name, ddl)
+
+    def step(self) -> int:
+        """Run one frontier round; returns number of pages fetched (0 ⇒ done)."""
+        cfg = self.cfg
+        pending = self._read("frontier", FRONTIER_DDL)
+
+        tagged = politeness.select_eligible(
+            pending, cfg.default_budget, self.budgets, cfg.salt_buckets
+        ).persist()
+        eligible = tagged.where("is_eligible").drop("is_eligible")
+        deferred = tagged.where("NOT is_eligible").drop("is_eligible")
+
+        n_eligible = eligible.count()
+        if n_eligible == 0:
+            tagged.unpersist()
+            return 0
+        self.round += 1
+
+        ranked = eligible.withColumn(
+            "rank", F.lit(self.rank_base) + F.row_number().over(Window.orderBy("seq"))
+        )
+
+        # fetch = join the small per-round batch INTO the big corpus scan
+        batch = F.broadcast(ranked) if cfg.broadcast_eligible else ranked
+        found = self.corpus.join(batch, "url", "inner").persist()
+        missing = ranked.join(found.select("url"), "url", "left_anti")
+
+        ok = found.where(
+            (F.col("http_status") == 200) & (F.col("body_size") >= cfg.minsize)
+        )
+        not_ok = found.where(
+            (F.col("http_status") != 200) | (F.col("body_size") < cfg.minsize)
+        )
+        retry_pred = F.col("http_status").isin(list(RETRY_HTTP_CODES)) | (
+            F.col("body_size") < cfg.minsize
+        )
+        retries = (
+            not_ok.where(retry_pred & (F.col("attempt") < cfg.retry_times))
+            .select(
+                "seq", "url", "host", "method", "callback", "meta_json",
+                (F.col("attempt") + 1).alias("attempt"),
+            )
+        )
+        failed = (
+            not_ok.where(retry_pred & (F.col("attempt") >= cfg.retry_times))
+            .select("url", F.lit("exhausted").alias("reason"), "attempt")
+            .unionByName(
+                not_ok.where(~retry_pred).select(
+                    "url", F.lit("failed").alias("reason"), "attempt"
+                )
+            )
+            .unionByName(
+                missing.select("url", F.lit("missing").alias("reason"), "attempt")
+            )
+            .withColumn("round", F.lit(self.round))
+        )
+
+        pages = ok.where(F.col("callback").isin(list(PAGE_CALLBACKS)))
+        parsed = parse_pages(pages).persist()
+
+        # ---- child admission: dedup gate (D1) + deterministic seq assignment
+        reqs = requests_of(parsed).withColumn(
+            "host", F.substring_index(F.substring_index("url", "://", -1), "/", 1)
+        )
+        from ..functions.urltools import register_udfs
+
+        udfs = register_udfs()
+        reqs = reqs.withColumn("fp", udfs["fingerprint"]("method", "url")).withColumn(
+            "canon", udfs["canonical"]("url")
+        )
+        nofilter_cbs = [cb for cb, dont in cfg.callbacks.items() if dont]
+        nofilter = reqs.where(F.col("callback").isin(nofilter_cbs))
+        gated = reqs.where(~F.col("callback").isin(nofilter_cbs))
+        # first-wins within the batch, in admission order
+        w_fp = Window.partitionBy("fp").orderBy("parent_seq", "child_idx")
+        gated = (
+            gated.withColumn("_rn", F.row_number().over(w_fp))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        seen = self._read("url_seen", URL_SEEN_DDL)
+        gated = gated.join(seen.select("fp"), "fp", "left_anti")
+        new_seen = gated.select(
+            "fp", F.xxhash64("canon").alias("url_hash"), F.col("url")
+        )
+
+        admitted = nofilter.unionByName(gated).withColumn(
+            "_adm", F.row_number().over(Window.orderBy("parent_seq", "child_idx"))
+        )
+        children = admitted.select(
+            (F.lit(self.next_seq) + F.col("_adm") - 1).alias("seq"),
+            "url", "host", "method", "callback", "meta_json",
+            F.lit(0).alias("attempt"),
+        )
+
+        new_pending = deferred.unionByName(retries).unionByName(children)
+
+        # ---- commit the round: appends + frontier replace + checkpoint
+        order_rows = ranked.select("rank", F.lit(self.round).alias("round"), "url", "host", "attempt")
+        metrics = (
+            ranked.groupBy("host")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(self.round).alias("round"), "host", "n")
+        )
+        items = parsed.where("out_kind = 'item'")
+
+        self.catalog.table("crawl_order").append(order_rows)
+        self.catalog.table("metrics").append(metrics)
+        self.catalog.table("failed").append(failed)
+        self.catalog.table("items_raw").append(items)
+        self.catalog.table("url_seen").append(new_seen)
+        self.catalog.table("frontier").replace(new_pending)
+
+        n_children = children.count()
+        self.next_seq += n_children
+        self.rank_base += n_eligible
+        self._checkpoint(
+            lineage={
+                "round": self.round,
+                "n_eligible": n_eligible,
+                "n_children": n_children,
+            }
+        )
+        parsed.unpersist()
+        found.unpersist()
+        tagged.unpersist()
+        return n_eligible
+
+    def run(self) -> dict:
+        """Loop to frontier exhaustion (idle-close analogue, SURVEY.md T2)."""
+        total = 0
+        while self.round < self.cfg.max_rounds:
+            n = self.step()
+            if n == 0:
+                break
+            total += n
+        return {"rounds": self.round, "fetched": total}
+
+    # ------------------------------------------------------------ outputs
+
+    def crawl_order(self) -> DataFrame:
+        return self._read("crawl_order", CRAWL_ORDER_DDL)
+
+    def url_seen(self) -> DataFrame:
+        return self._read("url_seen", URL_SEEN_DDL)
+
+    def metrics(self) -> DataFrame:
+        return self._read("metrics", METRICS_DDL)
+
+    def failed(self) -> DataFrame:
+        return self._read("failed", FAILED_DDL)
+
+    def items(self, tablename: str) -> DataFrame:
+        """Typed item table with the reference's audit columns
+        (P1/D4: keyid, bizdate, ctime, spider — `pipelines_rdbm.py:43-56,85-87`);
+        keyid is a deterministic hash instead of uuid1 (SURVEY.md §7.3.2)."""
+        raw = self._read(
+            "items_raw",
+            "out_kind string, tablename string, item_json string, url string,"
+            " method string, callback string, meta_json string, parent_seq long,"
+            " child_idx int, parent_url string",
+        )
+        cfg = self.cfg
+        typed = items_of(raw, tablename, ITEM_TABLES[tablename])
+        return (
+            typed.withColumn(
+                "keyid",
+                F.concat(
+                    F.lit(cfg.bizdate),
+                    F.lit("_"),
+                    F.md5(F.concat_ws("|", F.lit(tablename), "parent_url", "parent_seq", "item_json")),
+                ),
+            )
+            .withColumn("bizdate", F.lit(cfg.bizdate))
+            .withColumn("ctime", F.lit(cfg.ctime))
+            .withColumn("spider", F.lit(cfg.spider))
+            .drop("parent_seq", "parent_url", "item_json")
+        )

@@ -27,12 +27,11 @@ The simulator also models the decoupled attachment downloader
 
 from __future__ import annotations
 
-import hashlib
-import json
 from dataclasses import dataclass, field
-from urllib.parse import urljoin
 
 from .corpusgen import RETRY_HTTP_CODES, host_of
+from .functions.urltools import canonical, fingerprint  # noqa: F401 (shared defs)
+from .parselib import parse_body
 
 # callback registry: name -> dont_filter (True = skip dedup), as in
 # SP/spiders/zhifang.py:55-61.  'file' covers the downloader phase.
@@ -48,26 +47,6 @@ class Politeness:
 
     def budget(self, host: str) -> int:
         return self.per_host.get(host, self.max_per_round)
-
-
-def canonical(url: str) -> str:
-    """Canonical URL for fingerprinting (w3lib-lite): lowercase scheme+host,
-    drop fragment, strip trailing '?' — mirrors scrapy's
-    request_fingerprint canonicalization closely enough for synthetic URLs."""
-    url = url.split("#", 1)[0].rstrip("?")
-    if "://" in url:
-        scheme, rest = url.split("://", 1)
-        if "/" in rest:
-            netloc, path = rest.split("/", 1)
-            return f"{scheme.lower()}://{netloc.lower()}/{path}"
-        return f"{scheme.lower()}://{rest.lower()}"
-    return url
-
-
-def fingerprint(method: str, url: str) -> str:
-    """Request fingerprint = sha1(method + canonical url), mirroring
-    scrapy-redis RFPDupeFilter (SP/settings.py:103)."""
-    return hashlib.sha1(f"{method}:{canonical(url)}".encode()).hexdigest()
 
 
 @dataclass
@@ -91,63 +70,8 @@ class SimResult:
     rounds: int
 
 
-def parse_body(url: str, body: str) -> tuple[list[tuple[str, dict]], list[dict]]:
-    """The oracle-side parse: JSON body → (items, child request dicts).
-
-    Mirrors list_parse/detail_parse (`SP/spiders/zhifang.py:63-132`): list
-    pages yield one zhifang_list item + one detail request per row; detail
-    pages yield one zhifang_detail item + one zhifang_file item per image
-    (images become *file items*, not frontier requests)."""
-    doc = json.loads(body)
-    items: list[tuple[str, dict]] = []
-    children: list[dict] = []
-    if doc["kind"] == "list":
-        for row in doc["rows"]:
-            full = urljoin(url, row["detail_url"])
-            pkey = hashlib.md5(full.encode()).hexdigest().upper()
-            items.append(
-                (
-                    "zhifang_list",
-                    {
-                        "title": row["title"],
-                        "desc": row["desc"],
-                        "location": row["location"],
-                        "price": row["price"],
-                        "detail_full_url": full,
-                        "pkey": pkey,
-                        "pagenum": str(doc["pagenum"]),
-                    },
-                )
-            )
-            children.append(
-                {
-                    "url": full,
-                    "method": "GET",
-                    "callback": "detail",
-                    "meta": {"fkey": pkey, "pagenum": str(doc["pagenum"])},
-                }
-            )
-    elif doc["kind"] == "detail":
-        fkey = hashlib.md5(url.encode()).hexdigest().upper()
-        row = dict(doc["fields"])
-        row.update({"fkey": fkey})
-        items.append(("zhifang_detail", row))
-        for img_rel in doc["image_urls"]:
-            full = urljoin(url, img_rel)
-            items.append(
-                (
-                    "zhifang_file",
-                    {
-                        "file_url": full,
-                        "file_type": full.rsplit(".", 1)[-1],
-                        "file_name": full.rsplit("/", 1)[-1],
-                        "status": "未下载",
-                        "file_path": "",
-                        "fkey": fkey,
-                    },
-                )
-            )
-    return items, children
+# the oracle uses the exact same parse callbacks as the engine's mapInPandas
+# stage (spiderman_spark.parselib.parse_body) — shared by construction.
 
 
 def simulate_crawl(

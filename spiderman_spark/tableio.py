@@ -1,0 +1,128 @@
+"""TableIO — the Iceberg seam (SURVEY.md §7.0).
+
+The engine's state tables (frontier, url_seen, crawl_order, item tables,
+file_meta, metrics) are written through this thin interface.  Two backends:
+
+- ``iceberg``: used when an Iceberg runtime jar is on the classpath
+  (``spark-submit --packages org.apache.iceberg:...``): ``writeTo(...).append()``
+  snapshot commits give atomic appends and time travel natively.  Not
+  available offline in this sandbox (pyspark's bundled jars lack it).
+- ``parquet+manifest`` (default, in-sandbox): each logical table is a
+  directory of immutable parquet files plus a ``_manifests/`` directory of
+  JSON snapshot files ``v{N}.json`` listing member files.  A snapshot commit =
+  write data files → write ``v{N+1}.json.tmp`` → atomic ``os.rename``.  Readers
+  resolve the latest manifest and read exactly its file list, so appends are
+  atomic, failed writes are invisible, and any older snapshot remains
+  readable — the same append/replace/snapshot-resume semantics the engine
+  needs from Iceberg (north rule: resumable from snapshot checkpoints).
+
+Reference parity: this replaces the Redis keyspace (`SP/utils/ctrl_redis.py`)
+— RPUSH becomes an append snapshot, key deletion (`SP_JOBS/job.py:75-77`)
+becomes ``replace`` with an empty DataFrame, and SCHEDULER_PERSIST
+(`SP/settings.py:105`) is simply "keep the table".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class ParquetManifestTable:
+    """One logical table: immutable parquet part-dirs + JSON snapshot manifests."""
+
+    def __init__(self, spark, root: str, name: str):
+        self.spark = spark
+        self.root = os.path.join(root, name)
+        self.name = name
+        self.mdir = os.path.join(self.root, "_manifests")
+        os.makedirs(self.mdir, exist_ok=True)
+
+    # -------------------------------------------------- snapshot resolution
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "files": [], "props": {}}
+        with open(os.path.join(self.mdir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: list[str], props: dict) -> int:
+        """Atomic snapshot commit via tmp-write + rename."""
+        v = self.current_version() + 1
+        body = {"version": v, "files": files, "props": props, "ts": time.time()}
+        tmp = os.path.join(self.mdir, f"v{v}.json.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        os.rename(tmp, os.path.join(self.mdir, f"v{v}.json"))
+        return v
+
+    # -------------------------------------------------- read / write
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    def read(self, version: int | None = None):
+        m = self._manifest(version)
+        if not m["files"]:
+            return None  # caller supplies schema for the empty case
+        return self.spark.read.parquet(*[os.path.join(self.root, f) for f in m["files"]])
+
+    def _write_data(self, df) -> str:
+        part = f"data-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, part))
+        return part
+
+    def append(self, df, props: dict | None = None) -> int:
+        part = self._write_data(df)
+        files = self._manifest()["files"] + [part]
+        return self._commit(files, props or {})
+
+    def replace(self, df, props: dict | None = None) -> int:
+        """Replace table contents (snapshot-isolated truncate+write)."""
+        part = self._write_data(df)
+        return self._commit([part], props or {})
+
+    def replace_empty(self, props: dict | None = None) -> int:
+        return self._commit([], props or {})
+
+    def props(self, version: int | None = None) -> dict:
+        return self._manifest(version)["props"]
+
+    def rollback_to(self, version: int) -> int:
+        """Commit a new snapshot whose file list equals ``version``'s —
+        orphaned appends from a crashed round become invisible (resume path)."""
+        m = self._manifest(version)
+        return self._commit(m["files"], {"rolled_back_to": version})
+
+
+class Catalog:
+    """A directory of ParquetManifestTables under one workdir."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> ParquetManifestTable:
+        return ParquetManifestTable(self.spark, self.root, name)
+
+    def read_or_empty(self, name: str, ddl: str):
+        t = self.table(name)
+        df = t.read() if t.exists() else None
+        if df is None:
+            return self.spark.createDataFrame([], ddl)
+        return df

@@ -1,0 +1,111 @@
+"""The correctness gate: Spark engine ≡ reference simulator, bit-for-bit
+(crawl order, URL-seen set, fetch counts, item multisets) — BASELINE.json:2,14.
+"""
+
+import pytest
+
+from spiderman_spark import corpusgen as cg
+from spiderman_spark import simulator as sim
+from spiderman_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+
+def run_pair(spark, workdir, spec, callbacks, budget=8, budgets_df=None):
+    corpus_df = cg.build_crawl_corpus(spark, spec)
+    engine = CrawlEngine(
+        spark,
+        corpus_df,
+        workdir,
+        CrawlConfig(callbacks=dict(callbacks), default_budget=budget),
+        budgets=budgets_df,
+    )
+    seeds = sim.make_seeds(spec)
+    engine.seed(seeds)
+    summary = engine.run()
+    pol = sim.Politeness(max_per_round=budget)
+    ref = sim.simulate_crawl(
+        sim.corpus_as_dict(spec), seeds, politeness=pol,
+        callbacks={**callbacks, "file": False},
+    )
+    return engine, summary, ref
+
+
+def assert_parity(engine, summary, ref):
+    got_order = [
+        (r["rank"], r["round"], r["url"], r["host"], r["attempt"])
+        for r in engine.crawl_order().orderBy("rank").collect()
+    ]
+    assert got_order == ref.crawl_order, (
+        f"first divergence: {next((i, a, b) for i, (a, b) in enumerate(zip(got_order, ref.crawl_order)) if a != b)}"
+        if got_order != ref.crawl_order and len(got_order) == len(ref.crawl_order)
+        else f"len {len(got_order)} vs {len(ref.crawl_order)}"
+    )
+    got_seen = {r["fp"] for r in engine.url_seen().collect()}
+    assert got_seen == ref.url_seen
+    got_counts = {
+        (r["round"], r["host"]): r["n"] for r in engine.metrics().collect()
+    }
+    assert got_counts == ref.fetch_counts
+    assert summary["rounds"] == ref.rounds
+    got_failed = sorted(r["url"] for r in engine.failed().collect())
+    assert got_failed == sorted(u for u, _ in ref.failed)
+
+
+DEMO_CBS = {"list": True, "detail": True}  # zhifang defaults (dont_filter)
+DEDUP_CBS = {"list": True, "detail": False}  # exercises the D1 dedup gate
+
+
+@pytest.mark.parametrize("callbacks", [DEMO_CBS, DEDUP_CBS], ids=["demo", "dedup"])
+def test_unit_scale_parity(spark, workdir, callbacks):
+    engine, summary, ref = run_pair(spark, workdir, cg.UNIT, callbacks, budget=3)
+    assert_parity(engine, summary, ref)
+
+
+def test_items_match_simulator(spark, workdir):
+    engine, summary, ref = run_pair(spark, workdir, cg.UNIT, DEDUP_CBS, budget=4)
+    for tb in ("zhifang_list", "zhifang_detail", "zhifang_file"):
+        got = engine.items(tb)
+        ref_rows = ref.items.get(tb, [])
+        assert got.count() == len(ref_rows)
+        # multiset equality over the reference's fields
+        cols = sorted(ref_rows[0].keys())
+        got_set = sorted(
+            tuple(r[c] for c in cols) for r in got.select(*cols).collect()
+        )
+        ref_set = sorted(tuple(it[c] for c in cols) for it in ref_rows)
+        assert got_set == ref_set
+    # audit columns present (P1/D4) and keyids unique per row
+    lst = engine.items("zhifang_list")
+    assert {"keyid", "bizdate", "ctime", "spider"} <= set(lst.columns)
+    assert lst.select("keyid").distinct().count() == lst.count()
+
+
+def test_correctness_scale_parity(spark, workdir):
+    """FIXTURES.md §8 'correctness' scale: 17 hosts (1 mega), ~2k URLs."""
+    engine, summary, ref = run_pair(
+        spark, workdir, cg.CORRECTNESS, DEDUP_CBS, budget=16
+    )
+    assert_parity(engine, summary, ref)
+
+
+def test_per_host_budget_overrides(spark, workdir):
+    spec = cg.UNIT
+    budgets_df_builder = lambda s: s.createDataFrame(
+        [("h0.example.test", 1)], "host string, max_per_round int"
+    )
+    corpus_df = cg.build_crawl_corpus(spark, spec)
+    from spiderman_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    engine = CrawlEngine(
+        spark, corpus_df, workdir,
+        CrawlConfig(callbacks=dict(DEDUP_CBS), default_budget=4),
+        budgets=budgets_df_builder(spark),
+    )
+    seeds = sim.make_seeds(spec)
+    engine.seed(seeds)
+    summary = engine.run()
+    ref = sim.simulate_crawl(
+        sim.corpus_as_dict(spec), seeds,
+        politeness=sim.Politeness(max_per_round=4, per_host={"h0.example.test": 1}),
+        callbacks={**DEDUP_CBS, "file": False},
+    )
+    assert_parity(engine, summary, ref)
