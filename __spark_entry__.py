@@ -1,38 +1,487 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (keyed to SURVEY.md §2) to DataFrame
+builders over the driver testdata; ``oracle_sql()`` holds the DuckDB-dialect
+equivalents the driver cross-checks at sf=0.01.
+
+Cross-engine determinism rules used throughout (names must also match):
+- float aggregates are scaled to integers (cents / basis points / 1e-4 units);
+- Spark ``cast(double as long)`` truncates while DuckDB CAST rounds, so every
+  oracle uses ``CAST(FLOOR(x) AS BIGINT)`` where Spark casts;
+- DuckDB SUM(int) yields HUGEINT → oracles cast to BIGINT explicitly;
+- every ranking has a total-order tie-break.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spiderman_spark.operators import dedup, similarity, textstats  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: patch-style anti-join + revenue rollup (SURVEY.md J1+A1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q13_join_agg_revenue(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# relational operators (crawl-engine analogs over the TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q01_patch_antijoin(spark, sf_dir):
+    """J1: rows in the left table with no match — the patch-crawl idiom
+    (`SP_JOBS/zhifang_job_patch.py:53-76`)."""
+    customer, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q02_groupby_distinct(spark, sf_dir):
+    """A1: GROUP BY with count + count distinct (`zhifang_job_patch.py:30-37`)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+def q03_except_missing(spark, sf_dir):
+    """A2: set difference — pages never crawled (`zhifang_job_patch.py:38`)."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    return spark.range(1, 2001).select(F.col("id").alias("k")).join(
+        urgent, "k", "left_anti"
+    )
+
+
+def q04_md5_rowkeys(spark, sf_dir):
+    """D3/D4/F3: md5 pkey + deterministic keyid (`SP/utils/base.py:38-46`)."""
+    orders = _t(spark, sf_dir, "orders")
+    pkey = F.upper(F.md5(F.col("o_orderkey").cast("string")))
+    return orders.select(
+        "o_orderkey",
+        pkey.alias("pkey"),
+        F.concat(F.lit("20240101_"), F.md5(F.concat(F.lit("zhifang|"), F.col("o_orderkey").cast("string")))).alias("keyid"),
+    )
+
+
+def q05_value_cleanse(spark, sf_dir):
+    """P2/F1: strip control chars + trim (`SP/pipelines/pipelines_clean.py:14-29`)."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.trim(F.translate(F.col("c_name"), "# \n\t\r", "")).alias("clean_name"),
+    )
+
+
+def q06_status_filter(spark, sf_dir):
+    """P4/P6: status-set + threshold predicate (`download.py:56`)."""
+    events = _t(spark, sf_dir, "events")
+    return events.where(
+        F.col("event_type").isin("error", "purchase") & (F.col("value") >= 50.0)
+    ).select("event_id", "event_type", "user_id")
+
+
+def q07_politeness_topk(spark, sf_dir):
+    """T3: per-key budget = first B rows per partition in deterministic order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q08_fifo_rank(spark, sf_dir):
+    """O1: global FIFO rank — frontier ordering discipline."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select("rank", "event_id", "event_type")
+    )
+
+
+def q09_file_type(spark, sf_dir):
+    """F6: extension sniffing with ?/& suffix stripping (`SP/utils/tool.py:88-113`)."""
+    part = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("http://img.test/f"),
+        F.col("p_partkey").cast("string"),
+        F.when(F.col("p_size") % 3 == 0, F.lit(".png"))
+        .when(F.col("p_size") % 3 == 1, F.lit(".jpg?x=1"))
+        .otherwise(F.lit(".gif&y=2")),
+    )
+    ext = F.lower(F.regexp_extract(url, r"\.([A-Za-z0-9]+)(?:[?&].*)?$", 1))
+    return part.select(
+        F.col("p_partkey"),
+        url.alias("file_url"),
+        F.when(ext.isin("png", "jpg", "gif", "jpeg", "bmp"), ext)
+        .otherwise(F.lit("other"))
+        .alias("file_type"),
+    )
+
+
+def q10_time_format(spark, sf_dir):
+    """F5: epoch/timestamp → formatted string (`SP/utils/tool.py:76-85`)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH").alias("ts_hour"),
+        F.date_format("ts", "yyyyMMdd").alias("bizdate"),
+    )
+
+
+def q11_regex_extract_price(spark, sf_dir):
+    """P7/F14: regexp_extract + cast + threshold (`kafka_mon.py:25-29`)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int")
+    return events.select("event_id", k.alias("k_val")).where(F.col("k_val") < 30)
+
+
+def q12_dirty_url_filter(spark, sf_dir):
+    """P3/F7: substring-blacklist URL filter (`SP/utils/tool.py:116-134`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(~F.col("source").rlike("src1[0-9]$")).select("doc_id", "source")
+
+
+def q13_join_agg_revenue(spark, sf_dir):
+    """J2-style FK equi-join + aggregate; dim side broadcast."""
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice") * 100)).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def q14_lineitem_rollup(spark, sf_dir):
+    """A1 at scale: TPC-H Q1-shaped rollup, partial aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < "1996-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)).cast("long").alias("revenue_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q15_topk_orders(spark, sf_dir):
+    """Top-k with total-order tie-break (absent in reference; engine addition)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("rk", "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q16_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keys(docs, "doc_id", "text")
+
+
+def q17_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.6)
+
+
+def q18_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64 family — no DuckDB analog;
+    recall vs exact Jaccard is pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=1, k=32, bands=8, threshold=0.6)
+
+
+def q19_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+def q20_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q21_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q22_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    comps = textstats.quality_score_components(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in comps.items()])
+
+
+def q23_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+def q24_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q25_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; recall vs q24 pytest-verified)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, planes=16, bands=4)
+
+
+def q26_embedding_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("nrm") * 1000).cast("long").alias("sum_norm_x1000"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# crawl engine end-to-end (rows-only check; bit-exact parity vs the
+# scrapy-redis-semantics simulator is enforced in tests/test_crawl_parity.py)
+# --------------------------------------------------------------------------
+
+def q27_crawl_order(spark, sf_dir):
+    from spiderman_spark import corpusgen as cg
+    from spiderman_spark import simulator as sim
+    from spiderman_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    spec = cg.UNIT
+    corpus = cg.build_crawl_corpus(spark, spec)
+    wd = tempfile.mkdtemp(prefix="q27-")
+    engine = CrawlEngine(
+        spark, corpus, wd,
+        CrawlConfig(callbacks={"list": True, "detail": False}, default_budget=16),
+    )
+    engine.seed(sim.make_seeds(spec))
+    engine.run()
+    return engine.crawl_order()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_patch_antijoin": q01_patch_antijoin,
+        "q02_groupby_distinct": q02_groupby_distinct,
+        "q03_except_missing": q03_except_missing,
+        "q04_md5_rowkeys": q04_md5_rowkeys,
+        "q05_value_cleanse": q05_value_cleanse,
+        "q06_status_filter": q06_status_filter,
+        "q07_politeness_topk": q07_politeness_topk,
+        "q08_fifo_rank": q08_fifo_rank,
+        "q09_file_type": q09_file_type,
+        "q10_time_format": q10_time_format,
+        "q11_regex_extract_price": q11_regex_extract_price,
+        "q12_dirty_url_filter": q12_dirty_url_filter,
+        "q13_join_agg_revenue": q13_join_agg_revenue,
+        "q14_lineitem_rollup": q14_lineitem_rollup,
+        "q15_topk_orders": q15_topk_orders,
+        "q16_dedup_exact": q16_dedup_exact,
+        "q17_ngram_jaccard": q17_ngram_jaccard,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q19_simhash": q19_simhash,
+        "q20_token_count": q20_token_count,
+        "q21_lang_id": q21_lang_id,
+        "q22_quality_score": q22_quality_score,
+        "q23_doc_fingerprint": q23_doc_fingerprint,
+        "q24_ann_cosine_topk": q24_ann_cosine_topk,
+        "q25_ann_lsh_topk": q25_ann_lsh_topk,
+        "q26_embedding_stats": q26_embedding_stats,
+        "q27_crawl_order": q27_crawl_order,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "q01_patch_antijoin": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "q02_groupby_distinct": (
+            "SELECT o_orderpriority, count(*) AS n_orders,"
+            " count(DISTINCT o_custkey) AS n_custs FROM orders GROUP BY o_orderpriority"
+        ),
+        "q03_except_missing": (
+            "SELECT range AS k FROM range(1, 2001) "
+            "EXCEPT SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "q04_md5_rowkeys": (
+            "SELECT o_orderkey, upper(md5(CAST(o_orderkey AS VARCHAR))) AS pkey,"
+            " concat('20240101_', md5(concat('zhifang|', CAST(o_orderkey AS VARCHAR)))) AS keyid"
+            " FROM orders"
+        ),
+        "q05_value_cleanse": (
+            "SELECT c_custkey, trim(translate(c_name, '#' || chr(1) || chr(160) || chr(10) || chr(9) || chr(13), '')) AS clean_name FROM customer"
+        ),
+        "q06_status_filter": (
+            "SELECT event_id, event_type, user_id FROM events "
+            "WHERE event_type IN ('error','purchase') AND value >= 50.0"
+        ),
+        "q07_politeness_topk": (
+            "SELECT o_custkey, o_orderkey, rk FROM (SELECT o_custkey, o_orderkey,"
+            " row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk"
+            " FROM orders) WHERE rk <= 3"
+        ),
+        "q08_fifo_rank": (
+            "SELECT rank, event_id, event_type FROM (SELECT event_id, event_type,"
+            " row_number() OVER (ORDER BY ts, event_id) AS rank FROM events) WHERE rank <= 100"
+        ),
+        "q09_file_type": (
+            "WITH u AS (SELECT p_partkey, concat('http://img.test/f', CAST(p_partkey AS VARCHAR),"
+            " CASE WHEN p_size % 3 = 0 THEN '.png' WHEN p_size % 3 = 1 THEN '.jpg?x=1' ELSE '.gif&y=2' END) AS file_url FROM part)"
+            " SELECT p_partkey, file_url,"
+            " CASE WHEN lower(regexp_extract(file_url, '\\.([A-Za-z0-9]+)(?:[?&].*)?$', 1))"
+            "   IN ('png','jpg','gif','jpeg','bmp')"
+            "  THEN lower(regexp_extract(file_url, '\\.([A-Za-z0-9]+)(?:[?&].*)?$', 1)) ELSE 'other' END AS file_type FROM u"
+        ),
+        "q10_time_format": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H') AS ts_hour,"
+            " strftime(ts, '%Y%m%d') AS bizdate FROM events"
+        ),
+        "q11_regex_extract_price": (
+            "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k_val"
+            " FROM events WHERE CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) < 30"
+        ),
+        "q12_dirty_url_filter": (
+            "SELECT doc_id, source FROM documents WHERE NOT regexp_matches(source, 'src1[0-9]$')"
+        ),
+        "q13_join_agg_revenue": (
+            "SELECT c_mktsegment, count(*) AS n_orders,"
+            " CAST(round(sum(o_totalprice * 100)) AS BIGINT) AS revenue_cents"
+            " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "q14_lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,"
+            " CAST(round(sum(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents,"
+            " count(*) AS n_rows FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q15_topk_orders": (
+            "SELECT rk, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents"
+            " FROM (SELECT o_orderkey, o_totalprice,"
+            " row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)"
+            " WHERE rk <= 10"
+        ),
+        "q16_dedup_exact": (
+            "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_hash,"
+            " min(doc_id) AS keeper_id, count(*) AS n_dups FROM documents"
+            " GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+        ),
+        "q17_ngram_jaccard": (
+            "WITH sh AS (SELECT doc_id AS did, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS grams FROM documents),"
+            " sz AS (SELECT did, len(grams) AS sz FROM sh),"
+            " inv AS (SELECT did, unnest(grams) AS g FROM sh),"
+            " pairs AS (SELECT x.did AS id_a, y.did AS id_b, count(*) AS common"
+            "   FROM inv x JOIN inv y ON x.g = y.g AND x.did < y.did GROUP BY x.did, y.did)"
+            " SELECT id_a, id_b, CAST(common AS BIGINT) AS common, CAST(a.sz AS BIGINT) AS size_a, CAST(b.sz AS BIGINT) AS size_b,"
+            " CAST(FLOOR(common * 10000.0 / (a.sz + b.sz - common)) AS BIGINT) AS jaccard_bp"
+            " FROM pairs JOIN sz a ON id_a = a.did JOIN sz b ON id_b = b.did"
+            " WHERE FLOOR(common * 10000.0 / (a.sz + b.sz - common)) >= 6000"
+        ),
+        "q20_token_count": (
+            "SELECT doc_id, CAST(CASE WHEN len(trim(text)) = 0 THEN 0"
+            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,"
+            " CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"
+        ),
+        "q23_doc_fingerprint": (
+            "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
+        ),
+        "q24_ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),"
+            " scored AS (SELECT query_id, e.vec_id AS neighbor_id,"
+            "   CAST(round(list_cosine_similarity(qv, e.embedding) * 10000) AS BIGINT) AS sim_x10k"
+            "   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id)"
+            " SELECT query_id, neighbor_id, sim_x10k, rk FROM (SELECT *,"
+            "   row_number() OVER (PARTITION BY query_id ORDER BY sim_x10k DESC, neighbor_id) AS rk"
+            "   FROM scored) WHERE rk <= 5"
+        ),
+        "q26_embedding_stats": (
+            "SELECT label, count(*) AS n, CAST(round(sum(sqrt(list_aggregate("
+            " list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) * 1000) AS BIGINT)"
+            " AS sum_norm_x1000 FROM embeddings GROUP BY label"
+        ),
+        # q18_minhash_lsh, q19_simhash: xxhash64 family — not expressible in
+        # DuckDB; verified in pytest against exact Jaccard / hamming props.
+        # q21_lang_id, q22_quality_score: oracled below (generated).
+        # q25_ann_lsh_topk: recall vs q24 pytest-verified.
+        # q27_crawl_order: verified bit-exact vs the reference simulator in
+        # tests/test_crawl_parity.py (rows-only here).
+    }
+    # generated oracles with the same argmax/arith semantics as the Spark side
+    from spiderman_spark.operators.textstats import LANG_STOPWORDS
+
+    hit = lambda words: (
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        f" x -> list_contains({words!r}, x)))"
+    )
+    structs = ", ".join(
+        f"{{'s': {hit(list(ws))}, 'l': '{la}'}}" for la, ws in LANG_STOPWORDS.items()
+    )
+    sql["q21_lang_id"] = (
+        f"SELECT doc_id, lang, CASE WHEN best['s'] > 0 THEN best['l'] ELSE 'und' END AS lang_guess"
+        f" FROM (SELECT doc_id, lang, list_max([{structs}]) AS best FROM documents)"
+    )
+    en_hits = hit(list(LANG_STOPWORDS["en"]))
+    ntok = "(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    npunct = "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+    sql["q22_quality_score"] = (
+        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"
+        f" CAST({ntok} AS BIGINT) AS n_tokens,"
+        f" CAST(FLOOR({npunct} * 10000.0 / greatest(length(text), 1)) AS BIGINT) AS punct_bp,"
+        f" CAST(FLOOR({en_hits} * 10000.0 / greatest({ntok}, 1)) AS BIGINT) AS stopword_bp,"
+        f" CAST(FLOOR((length(text) - {ntok} + 1) * 100.0 / greatest({ntok}, 1)) AS BIGINT) AS avg_token_len_x100"
+        f" FROM documents"
+    )
+    return sql

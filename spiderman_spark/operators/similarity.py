@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.  Query
+  side is broadcast (small), corpus side streams: one scan, no shuffle of the
+  big table; per-row cosine via zip_with/aggregate (JVM, codegen'd).
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path: sign-bit
+  sketch from deterministic pseudo-random projections (xxhash64-derived, no
+  RNG state), candidates = same-bucket rows (multi-probe over bands), exact
+  re-rank on candidates only.  Recall is tested against cosine_topk.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, sim_x10k, rk).
+
+    Similarity scaled to integer 1e-4 units and tie-broken by neighbor id so
+    results are deterministic across engines/float orders.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long").alias("sim_x10k"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_x10k").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim_x10k", "rk")
+    )
+
+
+def _projection_vec(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from (plane, coord) hashes —
+    reproducible on any executor without shipping RNG state."""
+    import hashlib
+
+    out = []
+    for c in range(dim):
+        h = int(hashlib.md5(f"proj:{plane}:{c}".encode()).hexdigest()[:8], 16)
+        out.append((h / 2**31) - 1.0)  # uniform-ish in [-1, 1)
+    return out
+
+
+def sign_sketch(vec_col, dim: int, planes: int = 16):
+    """Array of ``planes`` sign bits packed into one long."""
+    acc = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.array(*[F.lit(v) for v in _projection_vec(dim, p)])
+        s = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, proj)
+        acc = acc.bitwiseOR(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band with the query,
+    exact cosine re-rank on candidates only.  Bands = ``bands`` slices of the
+    ``planes``-bit sign sketch."""
+    from pyspark.sql import Window
+
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df, ident, vec):
+        sk = sign_sketch(F.col(vec), dim, planes)
+        return df.select(
+            F.col(ident), F.col(vec), sk.alias("_sk")
+        ).select(
+            ident,
+            vec,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("_sk"), b * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(ident, vec, "bb.band", "bb.bucket")
+
+    q = banded(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+    )
+    c = banded(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long").alias("sim_x10k"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_x10k").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim_x10k", "rk")
+    )
