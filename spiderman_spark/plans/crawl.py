@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..corpusgen import RETRY_HTTP_CODES
 from ..operators import politeness
+from ..operators.bloom import BloomConfig, BloomSet, build_bloom, maybe_seen_udf
 from ..operators.parse import items_of, parse_pages, requests_of
 from ..parselib import ITEM_TABLES, PAGE_CALLBACKS
 from ..tableio import Catalog
@@ -79,6 +80,10 @@ class CrawlConfig:
     ctime: str = "2024-01-01 00:00:00"
     spider: str = "zhifang"
     max_rounds: int = 100000
+    # optional Bloom pre-filter (SURVEY.md D2): shrinks the url_seen anti-join
+    # probe side; the exact anti-join stays the source of truth, so crawl
+    # results are identical with or without it (asserted in tests).
+    bloom: BloomConfig | None = None
 
 
 class CrawlEngine:
@@ -98,6 +103,7 @@ class CrawlEngine:
         self.round = 0
         self.next_seq = 0
         self.rank_base = 0
+        self.bloom = BloomSet(self.cfg.bloom) if self.cfg.bloom else None
         self._ckpt_path = os.path.join(workdir, "checkpoint.json")
 
     # ------------------------------------------------------------ lifecycle
@@ -123,6 +129,8 @@ class CrawlEngine:
             self.spark.createDataFrame(rows, FRONTIER_DDL)
         )
         self.round, self.next_seq, self.rank_base = 0, len(rows), 0
+        if self.bloom is not None:
+            self.bloom = BloomSet(self.cfg.bloom)
         self._checkpoint()
 
     def _checkpoint(self, lineage: dict | None = None) -> None:
@@ -152,6 +160,11 @@ class CrawlEngine:
         self.round = state["round"]
         self.next_seq = state["next_seq"]
         self.rank_base = state["rank_base"]
+        if self.cfg.bloom is not None:
+            # the bitmap is derived state: rebuild from the url_seen snapshot
+            self.bloom = build_bloom(
+                self._read("url_seen", URL_SEEN_DDL), "fp", self.cfg.bloom
+            )
         return True
 
     # ------------------------------------------------------------ one round
@@ -239,7 +252,19 @@ class CrawlEngine:
             .drop("_rn")
         )
         seen = self._read("url_seen", URL_SEEN_DDL)
-        gated = gated.join(seen.select("fp"), "fp", "left_anti")
+        if self.bloom is not None:
+            # Bloom pre-filter: rows the filter calls "definitely new" never
+            # touch the url_seen table; only "maybe seen" rows (true dups +
+            # the tiny FP fraction) probe the exact anti-join.
+            probe = maybe_seen_udf(self.spark, self.bloom)
+            flagged = gated.withColumn("_maybe", probe("fp"))
+            fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
+            maybe = flagged.where(F.col("_maybe")).drop("_maybe")
+            gated = fresh.unionByName(
+                maybe.join(seen.select("fp"), "fp", "left_anti")
+            )
+        else:
+            gated = gated.join(seen.select("fp"), "fp", "left_anti")
         new_seen = gated.select(
             "fp", F.xxhash64("canon").alias("url_hash"), F.col("url")
         )
@@ -270,6 +295,8 @@ class CrawlEngine:
         self.catalog.table("items_raw").append(items)
         self.catalog.table("url_seen").append(new_seen)
         self.catalog.table("frontier").replace(new_pending)
+        if self.bloom is not None:
+            self.bloom.merge(build_bloom(new_seen, "fp", self.cfg.bloom))
 
         n_children = children.count()
         self.next_seq += n_children
