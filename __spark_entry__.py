@@ -311,6 +311,33 @@ def q27_crawl_order(spark, sf_dir):
     return engine.crawl_order()
 
 
+def q28_image_download(spark, sf_dir):
+    """S5/J4/P8 + input_hint invariants: crawl → file meta → image download
+    with decode/phash verification (rows-only; PSNR/caption asserts live in
+    tests/test_download.py where ground truth is available)."""
+    from spiderman_spark import corpusgen as cg
+    from spiderman_spark import simulator as sim
+    from spiderman_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from spiderman_spark.plans.download import DownloadConfig, ImageDownloader
+
+    spec = cg.UNIT
+    corpus = cg.build_crawl_corpus(spark, spec)
+    wd = tempfile.mkdtemp(prefix="q28-")
+    engine = CrawlEngine(
+        spark, corpus, wd,
+        CrawlConfig(callbacks={"list": True, "detail": False}, default_budget=16),
+    )
+    engine.seed(sim.make_seeds(spec))
+    engine.run()
+    dl = ImageDownloader(
+        spark, corpus, cg.build_image_corpus(spark, spec), wd,
+        DownloadConfig(default_budget=16),
+    )
+    dl.make_job(engine.items("zhifang_file"))
+    dl.run()
+    return dl.images().select("image_id", "w", "h", "fmt", "phash", "verified")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_patch_antijoin": q01_patch_antijoin,
@@ -340,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ann_lsh_topk": q25_ann_lsh_topk,
         "q26_embedding_stats": q26_embedding_stats,
         "q27_crawl_order": q27_crawl_order,
+        "q28_image_download": q28_image_download,
     }
 
 
