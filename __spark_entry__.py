@@ -311,6 +311,63 @@ def q27_crawl_order(spark, sf_dir):
     return engine.crawl_order()
 
 
+def q29_b64_rowkey_audit(spark, sf_dir):
+    """F4/D4/P1: base64 + deterministic rowkey + audit projection
+    (`SP/utils/tool.py:56-73`, `SP/utils/base.py:43-46`)."""
+    from spiderman_spark.functions import scalars as S
+
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        S.b64_encode(F.col("c_name")).alias("name_b64"),
+        S.b64_decode(S.b64_encode(F.col("c_name"))).alias("name_rt"),
+        S.rowkey("20240101", F.col("c_custkey").cast("string"), F.col("c_name")).alias("keyid"),
+    )
+
+
+def q30_file_type_full(spark, sf_dir):
+    """F6: full whitelist extension sniff over synthetic urls
+    (`SP/utils/tool.py:88-113`)."""
+    from spiderman_spark.functions import scalars as S
+
+    part = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("http://f.test/"),
+        F.col("p_partkey").cast("string"),
+        F.element_at(
+            F.array(
+                F.lit(".pdf"), F.lit(".mp4?x=1"), F.lit(".tar.gz"),
+                F.lit(".docx&dl=1"), F.lit(".unknown"), F.lit(".JPG"),
+            ),
+            (F.pmod(F.col("p_partkey"), F.lit(6)) + 1).cast("int"),
+        ),
+    )
+    return part.select(
+        "p_partkey", url.alias("file_url"), S.file_type(url).alias("file_type")
+    )
+
+
+def q31_dirty_url_blacklist(spark, sf_dir):
+    """F7/P3: substring-blacklist URL check over synthetic urls
+    (`SP/utils/tool.py:116-134`)."""
+    from spiderman_spark.functions import scalars as S
+
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("http://ok.test/"), F.lit("http://baidu.com/"),
+                F.lit("javascript:"), F.lit("mailto:a@qq.com/"),
+            ),
+            (F.pmod(F.col("o_orderkey"), F.lit(4)) + 1).cast("int"),
+        ),
+        F.col("o_orderkey").cast("string"),
+    )
+    return orders.select(
+        "o_orderkey", url.alias("url"), S.url_ok(url).alias("usable")
+    )
+
+
 def q28_image_download(spark, sf_dir):
     """S5/J4/P8 + input_hint invariants: crawl → file meta → image download
     with decode/phash verification (rows-only; PSNR/caption asserts live in
@@ -368,6 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_stats": q26_embedding_stats,
         "q27_crawl_order": q27_crawl_order,
         "q28_image_download": q28_image_download,
+        "q29_b64_rowkey_audit": q29_b64_rowkey_audit,
+        "q30_file_type_full": q30_file_type_full,
+        "q31_dirty_url_blacklist": q31_dirty_url_blacklist,
     }
 
 
@@ -487,6 +547,31 @@ def oracle_sql() -> dict[str, str]:
         # q27_crawl_order: verified bit-exact vs the reference simulator in
         # tests/test_crawl_parity.py (rows-only here).
     }
+    sql["q29_b64_rowkey_audit"] = (
+        "SELECT c_custkey, to_base64(encode(c_name)) AS name_b64,"
+        " decode(from_base64(to_base64(encode(c_name)))) AS name_rt,"
+        " concat('20240101_', md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name))) AS keyid"
+        " FROM customer"
+    )
+    from spiderman_spark.functions.scalars import DIRTY_WORDS, FILE_TYPES
+
+    _wl = ", ".join(f"'{t}'" for t in FILE_TYPES)
+    sql["q30_file_type_full"] = (
+        "WITH u AS (SELECT p_partkey, concat('http://f.test/', CAST(p_partkey AS VARCHAR),"
+        " (['.pdf','.mp4?x=1','.tar.gz','.docx&dl=1','.unknown','.JPG'])[(p_partkey % 6) + 1]) AS file_url FROM part),"
+        " e AS (SELECT p_partkey, file_url, lower(trim(string_split(string_split("
+        "   string_split(file_url, '.')[-1], '&')[1], '?')[1])) AS ext FROM u)"
+        f" SELECT p_partkey, file_url, CASE WHEN ext IN ({_wl}) THEN ext ELSE '' END AS file_type FROM e"
+    )
+    _dirty = " OR ".join(
+        "contains(url, '" + w.replace("'", "''") + "')" for w in DIRTY_WORDS
+    )
+    sql["q31_dirty_url_blacklist"] = (
+        "WITH u AS (SELECT o_orderkey, concat((['http://ok.test/','http://baidu.com/',"
+        "'javascript:','mailto:a@qq.com/'])[(o_orderkey % 4) + 1],"
+        " CAST(o_orderkey AS VARCHAR)) AS url FROM orders)"
+        f" SELECT o_orderkey, url, NOT ({_dirty}) AS usable FROM u"
+    )
     # generated oracles with the same argmax/arith semantics as the Spark side
     from spiderman_spark.operators.textstats import LANG_STOPWORDS
 

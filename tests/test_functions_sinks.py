@@ -1,0 +1,149 @@
+"""Scalar-function surface (F1-F16) vs the reference's pure-Python utils, and
+the sink discipline (P1/P2/D4 + S7/S11/S12/S17 shapes).
+"""
+
+import base64
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from spiderman_spark.functions import scalars as S
+from spiderman_spark.parselib import ITEM_TABLES
+from spiderman_spark.sources import sinks
+
+
+# ---- reference-faithful pure-python oracles (from tool.py semantics)
+
+def ref_file_type(u):
+    types = set(S.FILE_TYPES)
+    ft = u.split(".")[-1]
+    if "&" in ft:
+        ft = ft.split("&")[0]
+    if "?" in ft:
+        ft = ft.split("?")[0]
+    if ft.strip().lower() in types:
+        return ft.strip().lower()
+    import re
+
+    m = re.findall("data:image/(.*);", u)
+    ft = m[0] if m else ""
+    return ft.strip().lower() if ft.strip().lower() in types else ""
+
+
+def ref_url_ok(u, extra=None):
+    return not any(kw in u for kw in S.DIRTY_WORDS + list(extra or []))
+
+
+URLS = [
+    "http://a.test/x.PDF",  # case: reference lowercases before whitelist check
+    "http://a.test/f.jpg?x=1",
+    "http://a.test/f.gif&y=2",
+    "http://a.test/f.tar.gz",
+    "http://a.test/noext",
+    "data:image/png;base64,xxx",
+    "http://baidu.com/f.png",
+    "javascript:void(0)",
+    "mailto:x@qq.com",
+    "http://ok.test/deep/path/file.mp4",
+]
+
+
+def test_file_type_and_url_check(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = {
+        r["url"]: (r["ft"], r["ok"])
+        for r in df.select(
+            "url",
+            S.file_type(F.col("url")).alias("ft"),
+            S.url_ok(F.col("url")).alias("ok"),
+        ).collect()
+    }
+    for u in URLS:
+        # reference compares the lowered ext but returns the raw segment;
+        # ours returns the lowered ext — compare case-insensitively
+        assert got[u][0] == ref_file_type(u).lower(), u
+        assert got[u][1] == ref_url_ok(u), u
+
+
+def test_clean_b64_epoch_str2dict_cookies(spark):
+    df = spark.createDataFrame(
+        [("  a\x01b\xa0c\n\t\r  ", "hello", 1700000000123, "k1: v1\nk2: v2", "a=1; b=2")],
+        "dirty string, plain string, ts long, kv string, cookie string",
+    )
+    r = df.select(
+        S.clean(F.col("dirty")).alias("clean"),
+        S.b64_encode(F.col("plain")).alias("b64"),
+        S.b64_decode(S.b64_encode(F.col("plain"))).alias("rt"),
+        S.epoch_to_str(F.col("ts"), "ms", "yyyy-MM-dd").alias("day"),
+        S.str2dict(F.col("kv")).alias("m"),
+        S.cookies_to_map(F.col("cookie")).alias("ck"),
+        S.sanitize_filename(F.lit('a:b*c?d"e<f>g|h.png')).alias("fn"),
+        S.price_value(F.lit("单价8500元")).alias("price"),
+    ).collect()[0]
+    assert r["clean"] == "abc"
+    assert r["b64"] == base64.b64encode(b"hello").decode()
+    assert r["rt"] == "hello"
+    assert r["day"] == "2023-11-14"  # epoch ms → date (UTC session tz)
+    assert r["m"] == {"k1": "v1", "k2": "v2"}
+    assert r["ck"] == {"a": "1", "b": "2"}
+    assert r["fn"] == "abcdefgh.png"
+    assert r["price"] == 8500
+
+
+def test_aes_roundtrip_and_rotation(spark):
+    key = "0123456789abcdef"
+    df = spark.createDataFrame([("secret-payload", "u1"), ("x", "u2")], "v string, k string")
+    out = df.select(
+        "v",
+        S.aes_decrypt_b64(S.aes_encrypt_b64(F.col("v"), key), key).alias("rt"),
+        S.pick_rotating(["UA-a", "UA-b", "UA-c"], F.col("k")).alias("ua"),
+    ).collect()
+    assert all(r["v"] == r["rt"] for r in out)
+    assert all(r["ua"] in ("UA-a", "UA-b", "UA-c") for r in out)
+    # deterministic: same key → same pick on rerun
+    again = df.select(S.pick_rotating(["UA-a", "UA-b", "UA-c"], F.col("k")).alias("ua")).collect()
+    assert [r["ua"] for r in again] == [r["ua"] for r in out]
+
+
+def test_sink_discipline_and_shapes(spark, workdir):
+    raw = spark.createDataFrame(
+        [("t1\n", None, "x" * 300), ("t2", "d2", "ok")],
+        "title string, desc string, blob string",
+    )
+    projected = sinks.project_items(raw, ["title", "desc", "missing"], {"missing": "dflt", "desc": "-"})
+    assert projected.columns == ["title", "desc", "missing"]
+    row = projected.where("title = 't2'").collect()[0]
+    assert row["desc"] == "d2" and row["missing"] == "dflt"
+
+    cleaned = sinks.cleanse(projected)
+    assert cleaned.where("title = 't1'").count() == 1  # \n stripped
+
+    audited = sinks.with_audit(cleaned, "20240101", "2024-01-01 00:00:00", "zhifang")
+    assert audited.columns == ["keyid", "title", "desc", "missing", "bizdate", "ctime", "spider"]
+    assert audited.select("keyid").distinct().count() == 2
+
+    ok, poison = sinks.split_poison(sinks.cleanse(raw))
+    assert ok.count() == 1 and poison.count() == 1  # 300-char blob dropped
+
+    # S12 csv + S7 hive-text shapes
+    csv_path = os.path.join(workdir, "csv")
+    sinks.write_csv(audited, csv_path)
+    assert spark.read.option("header", True).csv(csv_path).count() == 2
+    ht_path = os.path.join(workdir, "ht")
+    sinks.write_hive_text(audited, ht_path)
+    lines = spark.read.text(os.path.join(ht_path, "data")).collect()
+    assert len(lines) == 2 and all(l["value"].count("\x01") == 6 for l in lines)
+    assert os.path.exists(os.path.join(ht_path, "_schema.json"))
+
+    # S11 kafka frame shape
+    kf = sinks.kafka_frame(cleaned, "zhifang_list", "2024-01-01 00:00:00")
+    assert kf.columns == ["key", "value"]
+    kr = kf.collect()[0]
+    assert kr["key"] == "zhifang_list" and '"ctime":"2024-01-01 00:00:00"' in kr["value"]
+
+    # S17 meta rows: one per column, px ordered
+    meta = sinks.refresh_meta(spark, "zhifang", ITEM_TABLES)
+    n_cols = sum(len(ddl.split(",")) for ddl in ITEM_TABLES.values())
+    assert meta.count() == n_cols
+    assert meta.where("tb = 'zhifang_file' AND col = 'file_url'").collect()[0]["px"] == 1
