@@ -270,6 +270,20 @@ def q25_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, dim=64, k=5, planes=16, bands=4)
 
 
+def q32_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline (dedup family)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_exact(emb, threshold=0.35)
+
+
+def q33_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (scale path; recall pytest-verified vs q32)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(
+        emb, dim=64, threshold=0.35, planes=16, bands=8
+    )
+
+
 def q26_embedding_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     norm = F.sqrt(
@@ -428,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_b64_rowkey_audit": q29_b64_rowkey_audit,
         "q30_file_type_full": q30_file_type_full,
         "q31_dirty_url_blacklist": q31_dirty_url_blacklist,
+        "q32_embedding_neardup": q32_embedding_neardup,
+        "q33_embedding_neardup_lsh": q33_embedding_neardup_lsh,
     }
 
 
@@ -547,6 +563,12 @@ def oracle_sql() -> dict[str, str]:
         # q27_crawl_order: verified bit-exact vs the reference simulator in
         # tests/test_crawl_parity.py (rows-only here).
     }
+    sql["q32_embedding_neardup"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        " CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_x10k"
+        " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+        " WHERE CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) >= 3500"
+    )
     sql["q29_b64_rowkey_audit"] = (
         "SELECT c_custkey, to_base64(encode(c_name)) AS name_b64,"
         " decode(from_base64(to_base64(encode(c_name)))) AS name_rt,"

@@ -1,0 +1,182 @@
+"""Multimodal column operators — image/audio/video as opaque binary columns
+with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
+
+The reference stores attachments as files on disk with a metadata row
+(`/root/reference/SP/pipelines/pipelines_file.py`, `download.py:107-146`);
+here bytes live inline as BinaryType next to their metadata (input_hint
+shape), so decode / feature-extract / resize run *inside* the scan with no
+side-channel I/O — the pattern that survives a 100 TB corpus: each task pulls
+an Arrow batch of (bytes, meta), does vectorized numpy work, emits columns.
+
+Availability in this sandbox: image decode/resize/features are REAL (pure
+numpy codecs, spiderman_spark.imagecodec).  Audio decode and video frame
+sampling need codec libraries this container lacks — those stages are STUBS:
+the Spark plumbing (schema, batch shape, partitioning) is real and tested
+with a deterministic fake payload generator, and the decode call raises
+``NotImplementedError`` unless the caller opts into the fake
+(``fake=True``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+IMAGE_STATS_DDL = (
+    "image_id string, w int, h int, fmt string,"
+    " mean_r double, mean_g double, mean_b double, brightness double,"
+    " phash long"
+)
+
+RESIZE_DDL = "image_id string, bytes binary, w int, h int, fmt string"
+
+FRAME_SAMPLE_DDL = "media_id string, frame_idx int, frame_bytes binary, w int, h int"
+
+AUDIO_FEATURES_DDL = "media_id string, n_samples long, rms double, zero_crossings long"
+
+
+def _block_mean_resize(px, out_w: int, out_h: int):
+    """Area-average resize via index binning (any size -> any size)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    yi = (np.arange(h) * out_h) // h
+    xi = (np.arange(w) * out_w) // w
+    out = np.zeros((out_h, out_w, 3), dtype=np.float64)
+    cnt = np.zeros((out_h, out_w, 1), dtype=np.float64)
+    np.add.at(out, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), px.astype(np.float64))
+    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+    return np.clip(out / cnt, 0, 255).astype(np.uint8)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Decode + per-channel means + brightness + recomputed phash.
+
+    Input needs (image_id, bytes, fmt); output IMAGE_STATS_DDL."""
+    import pandas as pd
+
+    from .. import imagecodec as ic
+
+    def stage(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = ic.decode(bytes(r.bytes), r.fmt)
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        r.image_id, px.shape[1], px.shape[0], r.fmt,
+                        float(means[0]), float(means[1]), float(means[2]),
+                        float(means.mean()), ic.average_phash(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "w", "h", "fmt", "mean_r", "mean_g",
+                         "mean_b", "brightness", "phash"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(stage, IMAGE_STATS_DDL)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → area-average resize → re-encode lossless rgb8."""
+    import pandas as pd
+
+    from .. import imagecodec as ic
+
+    def stage(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = ic.decode(bytes(r.bytes), r.fmt)
+                small = _block_mean_resize(px, out_w, out_h)
+                rows.append((r.image_id, ic.encode_rgb8(small), out_w, out_h, "rgb8"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(stage, RESIZE_DDL)
+
+
+def _fake_frames(media_id: str, n_frames: int, w: int = 8, h: int = 8):
+    """Deterministic fake video decoder: seeded gradient frames."""
+    import hashlib
+
+    import numpy as np
+
+    seed = int(hashlib.md5(media_id.encode()).hexdigest()[:8], 16)
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, size=(h, w, 3), dtype=np.int32).astype("uint8") for _ in range(n_frames)]
+
+
+def sample_frames(
+    media: DataFrame, every_nth: int = 10, max_frames: int = 4, fake: bool = False
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    STUB decode: no video codec ships in this container.  With ``fake=True``
+    a deterministic generator stands in for the decoder so the Spark plumbing
+    (explode-shaped output, schema, batching) is fully exercised; without it
+    the stage raises NotImplementedError, marking the integration point for a
+    real decoder (pyav/ffmpeg) on a production cluster."""
+    import pandas as pd
+
+    from .. import imagecodec as ic
+
+    def stage(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode requires a codec library absent from "
+                        "this environment; pass fake=True to exercise the "
+                        "pipeline with deterministic synthetic frames"
+                    )
+                frames = _fake_frames(r.media_id, max_frames * every_nth)
+                for i, fr in enumerate(frames[::every_nth][:max_frames]):
+                    rows.append(
+                        (r.media_id, i * every_nth, ic.encode_rgb8(fr),
+                         fr.shape[1], fr.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes", "w", "h"]
+            )
+
+    return media.select("media_id").mapInPandas(stage, FRAME_SAMPLE_DDL)
+
+
+def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature extraction (rms, zero-crossing count).
+
+    STUB decode, same contract as ``sample_frames``: deterministic fake
+    waveform when ``fake=True``, NotImplementedError otherwise."""
+    import pandas as pd
+
+    def stage(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires a codec library absent from "
+                        "this environment; pass fake=True to exercise the "
+                        "pipeline with a deterministic synthetic waveform"
+                    )
+                seed = int(hashlib.md5(r.media_id.encode()).hexdigest()[:8], 16)
+                wave = np.random.RandomState(seed).randn(4096)
+                rows.append(
+                    (
+                        r.media_id,
+                        len(wave),
+                        float(np.sqrt((wave**2).mean())),
+                        int((np.diff(np.sign(wave)) != 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "zero_crossings"]
+            )
+
+    return media.select("media_id").mapInPandas(stage, AUDIO_FEATURES_DDL)

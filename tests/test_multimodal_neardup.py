@@ -1,0 +1,91 @@
+"""Multimodal operators (image stats / resize / stubbed frame+audio) and
+embedding-cosine near-dup (exact + LSH recall).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spiderman_spark import corpusgen as cg
+from spiderman_spark import imagecodec as ic
+from spiderman_spark.operators import multimodal as mm
+from spiderman_spark.operators import similarity as simi
+
+SPEC = cg.UNIT
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return cg.build_image_corpus(spark, SPEC).cache()
+
+
+def test_image_stats_match_driver_numpy(spark, images):
+    got = {r["image_id"]: r for r in mm.image_stats(images).collect()}
+    sample = images.limit(5).collect()
+    for r in sample:
+        px = ic.decode(bytes(r["bytes"]), r["fmt"])
+        g = got[r["image_id"]]
+        assert (g["w"], g["h"]) == (r["w"], r["h"])
+        means = px.reshape(-1, 3).mean(axis=0)
+        assert abs(g["mean_r"] - means[0]) < 1e-9
+        assert abs(g["brightness"] - means.mean()) < 1e-9
+        assert g["phash"] == ic.average_phash(px)
+
+
+def test_resize_shapes_and_content(spark, images):
+    out = mm.resize_images(images, 8, 8).collect()
+    assert all((r["w"], r["h"], r["fmt"]) == (8, 8, "rgb8") for r in out)
+    # resized content equals driver-side block-mean of the decoded original
+    orig = {r["image_id"]: r for r in images.collect()}
+    for r in out[:5]:
+        src = orig[r["image_id"]]
+        px = ic.decode(bytes(src["bytes"]), src["fmt"])
+        want = mm._block_mean_resize(px, 8, 8)
+        assert np.array_equal(ic.decode_rgb8(bytes(r["bytes"])), want)
+
+
+def test_stubs_raise_without_fake_and_run_with_fake(spark):
+    media = spark.createDataFrame([("m1",), ("m2",)], "media_id string")
+    with pytest.raises(Exception) as ei:
+        mm.sample_frames(media).count()
+    assert "NotImplementedError" in str(ei.value) or "video decode" in str(ei.value)
+    frames = mm.sample_frames(media, every_nth=3, max_frames=2, fake=True).collect()
+    assert len(frames) == 4  # 2 media x 2 frames
+    assert {r["frame_idx"] for r in frames} == {0, 3}
+    # deterministic across runs
+    again = mm.sample_frames(media, every_nth=3, max_frames=2, fake=True).collect()
+    assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame_bytes"])) for r in frames) == \
+        sorted((r["media_id"], r["frame_idx"], bytes(r["frame_bytes"])) for r in again)
+    au = mm.audio_features(media, fake=True).collect()
+    assert len(au) == 2 and all(r["rms"] > 0 for r in au)
+
+
+def test_embedding_neardup_exact_and_lsh_recall(spark):
+    """The driver embeddings have no natural near-dups (max pair cosine
+    ~0.48), so plant them: perturbed copies of 25 vectors must surface as
+    (original, copy) pairs, exactly and via LSH with high recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.limit(25).collect()
+    rng = np.random.RandomState(7)
+    dups = [
+        (
+            int(r["vec_id"]) + 100000,
+            [float(x + rng.normal(0, 0.01)) for x in r["embedding"]],
+            r["label"],
+        )
+        for r in base
+    ]
+    planted = emb.select("vec_id", "embedding", "label").unionByName(
+        spark.createDataFrame(dups, "vec_id long, embedding array<float>, label string")
+    )
+    exact = simi.embedding_neardup_exact(planted, threshold=0.95)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    want = {(int(r["vec_id"]), int(r["vec_id"]) + 100000) for r in base}
+    assert want <= exact_pairs
+    assert len(exact_pairs) < 100  # no false flood at 0.95
+    lsh = simi.embedding_neardup_lsh(planted, dim=64, threshold=0.95, planes=16, bands=4)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # LSH verifies candidates exactly → subset; recall must be high
+    assert lsh_pairs <= exact_pairs
+    recall = len(lsh_pairs & want) / len(want)
+    assert recall >= 0.8, recall
