@@ -49,6 +49,8 @@ class CorpusSpec:
     fail_mod: int = 37  # ~1/37 URLs get a retryable http_status
     small_mod: int = 53  # ~1/53 URLs get body_size < minsize
     minsize: int = 64  # body-size retry threshold (MINSIZE)
+    img_lo: int = 16  # image dimension range (px)
+    img_hi: int = 64
 
     @property
     def total_urls(self) -> int:
@@ -59,6 +61,12 @@ class CorpusSpec:
 UNIT = CorpusSpec()
 CORRECTNESS = CorpusSpec(hosts=17, list_pages=50, details_per_page=10, images_per_detail=3)
 BENCH = CorpusSpec(hosts=64, list_pages=500, details_per_page=20, images_per_detail=4)
+# scaling-evidence corpus: fewer URLs, production-sized images so the
+# fetch+decode+verify stage (the parallelizable work) dominates round overhead
+BENCH_IMG = CorpusSpec(
+    hosts=64, list_pages=250, details_per_page=20, images_per_detail=4,
+    img_lo=160, img_hi=224,
+)
 
 
 def _h32(spec: CorpusSpec, key: str) -> int:
@@ -216,7 +224,7 @@ def key_from_ordinal(spec: CorpusSpec, i: int) -> tuple[str, int, int, int]:
 def image_corpus_row(spec: CorpusSpec, p: int, j: int, m: int) -> dict:
     url = image_url(spec, p, j, m)
     image_id = md5_upper(url)
-    w, h = imagecodec.gen_dims(spec.seed, image_id)
+    w, h = imagecodec.gen_dims(spec.seed, image_id, spec.img_lo, spec.img_hi)
     fmt = imagecodec.pick_fmt(spec.seed, image_id)
     px = imagecodec.gen_pixels(spec.seed, image_id, w, h)
     return {

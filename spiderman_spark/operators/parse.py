@@ -30,18 +30,22 @@ PARSE_OUT_DDL = (
 )
 
 
-def parse_pages(fetched_ok: DataFrame) -> DataFrame:
+def parse_pages(fetched_ok: DataFrame, parse_fn=None) -> DataFrame:
     """fetched_ok: (seq, url, body, ...) page rows that fetched successfully.
 
+    ``parse_fn``: the spider's pure parse callback (defaults to the zhifang
+    demo's) — must be a picklable module-level function.
     Returns the discriminated-union DataFrame per PARSE_OUT_DDL.
     """
     import pandas as pd
+
+    parse_fn = parse_fn or parse_body
 
     def run(batches):
         for pdf in batches:
             out = []
             for seq, url, body in zip(pdf["seq"], pdf["url"], pdf["body"]):
-                items, children = parse_body(url, body)
+                items, children = parse_fn(url, body)
                 for tb, item in items:
                     out.append(
                         {

@@ -51,7 +51,7 @@ from ..corpusgen import RETRY_HTTP_CODES
 from ..operators import politeness
 from ..operators.bloom import BloomConfig, BloomSet, build_bloom, maybe_seen_udf
 from ..operators.parse import items_of, parse_pages, requests_of
-from ..parselib import ITEM_TABLES, PAGE_CALLBACKS
+from ..spiderspec import ZHIFANG, SpiderSpec
 from ..tableio import Catalog
 
 FRONTIER_DDL = (
@@ -84,6 +84,13 @@ class CrawlConfig:
     # probe side; the exact anti-join stays the source of truth, so crawl
     # results are identical with or without it (asserted in tests).
     bloom: BloomConfig | None = None
+    # compact the url_seen table (the only state table *read* every round)
+    # every N rounds so its file count stays O(1) instead of O(rounds)
+    compact_every: int = 8
+    # rows per written parquet file for per-round state appends; rounds are
+    # budget-bounded so appends are small — without this every tiny append
+    # would fan out into shuffle.partitions-many files
+    rows_per_file: int = 200_000
 
 
 class CrawlEngine:
@@ -94,8 +101,10 @@ class CrawlEngine:
         workdir: str,
         config: CrawlConfig | None = None,
         budgets: DataFrame | None = None,
+        spec: SpiderSpec | None = None,
     ):
         self.spark = spark
+        self.spec = spec or ZHIFANG
         self.cfg = config or CrawlConfig()
         self.corpus = corpus.select("url", "http_status", "body", "body_size")
         self.catalog = Catalog(spark, workdir)
@@ -104,6 +113,7 @@ class CrawlEngine:
         self.next_seq = 0
         self.rank_base = 0
         self.bloom = BloomSet(self.cfg.bloom) if self.cfg.bloom else None
+        self._pending_est = 0  # running upper bound on frontier size
         self._ckpt_path = os.path.join(workdir, "checkpoint.json")
 
     # ------------------------------------------------------------ lifecycle
@@ -129,6 +139,7 @@ class CrawlEngine:
             self.spark.createDataFrame(rows, FRONTIER_DDL)
         )
         self.round, self.next_seq, self.rank_base = 0, len(rows), 0
+        self._pending_est = len(rows)
         if self.bloom is not None:
             self.bloom = BloomSet(self.cfg.bloom)
         self._checkpoint()
@@ -160,6 +171,7 @@ class CrawlEngine:
         self.round = state["round"]
         self.next_seq = state["next_seq"]
         self.rank_base = state["rank_base"]
+        self._pending_est = state["next_seq"]
         if self.cfg.bloom is not None:
             # the bitmap is derived state: rebuild from the url_seen snapshot
             self.bloom = build_bloom(
@@ -171,6 +183,11 @@ class CrawlEngine:
 
     def _read(self, name: str, ddl: str) -> DataFrame:
         return self.catalog.read_or_empty(name, ddl)
+
+    def _sized(self, df: DataFrame, approx_rows: int) -> DataFrame:
+        """Coalesce a small per-round write to O(rows/rows_per_file) files."""
+        parts = max(1, min(64, approx_rows // self.cfg.rows_per_file + 1))
+        return df.coalesce(parts)
 
     def step(self) -> int:
         """Run one frontier round; returns number of pages fetched (0 ⇒ done)."""
@@ -191,7 +208,7 @@ class CrawlEngine:
 
         ranked = eligible.withColumn(
             "rank", F.lit(self.rank_base) + F.row_number().over(Window.orderBy("seq"))
-        )
+        ).persist()
 
         # fetch = join the small per-round batch INTO the big corpus scan
         batch = F.broadcast(ranked) if cfg.broadcast_eligible else ranked
@@ -228,8 +245,8 @@ class CrawlEngine:
             .withColumn("round", F.lit(self.round))
         )
 
-        pages = ok.where(F.col("callback").isin(list(PAGE_CALLBACKS)))
-        parsed = parse_pages(pages).persist()
+        pages = ok.where(F.col("callback").isin(list(self.spec.page_callbacks)))
+        parsed = parse_pages(pages, self.spec.parse).persist()
 
         # ---- child admission: dedup gate (D1) + deterministic seq assignment
         reqs = requests_of(parsed).withColumn(
@@ -265,6 +282,7 @@ class CrawlEngine:
             )
         else:
             gated = gated.join(seen.select("fp"), "fp", "left_anti")
+        gated = gated.persist()  # feeds both new_seen and the children union
         new_seen = gated.select(
             "fp", F.xxhash64("canon").alias("url_hash"), F.col("url")
         )
@@ -276,7 +294,8 @@ class CrawlEngine:
             (F.lit(self.next_seq) + F.col("_adm") - 1).alias("seq"),
             "url", "host", "method", "callback", "meta_json",
             F.lit(0).alias("attempt"),
-        )
+        ).persist()
+        n_children = children.count()
 
         new_pending = deferred.unionByName(retries).unionByName(children)
 
@@ -289,16 +308,23 @@ class CrawlEngine:
         )
         items = parsed.where("out_kind = 'item'")
 
-        self.catalog.table("crawl_order").append(order_rows)
-        self.catalog.table("metrics").append(metrics)
-        self.catalog.table("failed").append(failed)
-        self.catalog.table("items_raw").append(items)
-        self.catalog.table("url_seen").append(new_seen)
-        self.catalog.table("frontier").replace(new_pending)
+        n_items_est = n_eligible * 8  # pages emit a handful of items each
+        self.catalog.table("crawl_order").append(self._sized(order_rows, n_eligible))
+        self.catalog.table("metrics").append(self._sized(metrics, n_eligible))
+        self.catalog.table("failed").append(self._sized(failed, n_eligible))
+        self.catalog.table("items_raw").append(self._sized(items, n_items_est))
+        seen_tb = self.catalog.table("url_seen")
+        seen_tb.append(self._sized(new_seen, n_children))
+        if cfg.compact_every and self.round % cfg.compact_every == 0:
+            # keep the per-round anti-join's scan list O(1) in round count
+            seen_tb.replace(self._sized(seen_tb.read(), self.next_seq + n_children))
+        self._pending_est = max(0, self._pending_est - n_eligible) + n_eligible + n_children
+        self.catalog.table("frontier").replace(
+            self._sized(new_pending, self._pending_est)
+        )
         if self.bloom is not None:
             self.bloom.merge(build_bloom(new_seen, "fp", self.cfg.bloom))
 
-        n_children = children.count()
         self.next_seq += n_children
         self.rank_base += n_eligible
         self._checkpoint(
@@ -311,6 +337,9 @@ class CrawlEngine:
         parsed.unpersist()
         found.unpersist()
         tagged.unpersist()
+        ranked.unpersist()
+        gated.unpersist()
+        children.unpersist()
         return n_eligible
 
     def run(self) -> dict:
@@ -348,7 +377,7 @@ class CrawlEngine:
             " child_idx int, parent_url string",
         )
         cfg = self.cfg
-        typed = items_of(raw, tablename, ITEM_TABLES[tablename])
+        typed = items_of(raw, tablename, self.spec.item_tables[tablename])
         return (
             typed.withColumn(
                 "keyid",

@@ -77,12 +77,23 @@ class DownloadConfig:
     files_store: str = "files"  # FILES_STORE path prefix (metadata only)
     spider: str = "zhifang"
     max_rounds: int = 100000
+    # fraction of fetched rows whose bytes are decoded and verified in the
+    # Python stage (deterministic hash sample).  1.0 = verify every row (the
+    # correctness-test default).  At corpus scale piping every 100KB blob
+    # through the JVM<->Python Arrow boundary is the bottleneck — statistical
+    # verification (e.g. 0.1) keeps the structural check while the bytes-at-
+    # rest path stays entirely JVM-side.  Unverified rows carry verified=NULL
+    # ("not checked"), never a claimed True.
+    verify_fraction: float = 1.0
 
 
 def _decode_verify_udf():
     """mapInPandas stage: decode bytes per row, structural verification.
 
-    Emits the images-table shape.  Decoded pixels are checked for (a) decode
+    Emits ONLY (image_id, verified) — bytes flow Arrow-batched INTO Python
+    for the decode but never back out; the images table is assembled JVM-side
+    by joining the verdicts onto the fetch join, so the wide binary column
+    crosses the JVM/Python boundary exactly once.  Checks: (a) decode
     success, (b) w/h equality with metadata, (c) recomputed average-phash
     equality for lossless fmts / hamming <= 2 for the quantized lossy fmt.
     """
@@ -106,15 +117,8 @@ def _decode_verify_udf():
                             ok = bin((dec_ph ^ r.phash) & ((1 << 64) - 1)).count("1") <= 2
                 except Exception:
                     ok = False
-                out.append(
-                    (r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash,
-                     r.url, r.file_path, bool(ok), r.round)
-                )
-            yield pd.DataFrame(
-                out,
-                columns=["image_id", "bytes", "w", "h", "fmt", "caption",
-                         "phash", "url", "file_path", "verified", "round"],
-            )
+                out.append((r.image_id, bool(ok)))
+            yield pd.DataFrame(out, columns=["image_id", "verified"])
 
     return stage
 
@@ -276,10 +280,21 @@ class ImageDownloader:
         ).withColumn("file_path", self._path_col(F.col("url"))).withColumn(
             "round", F.lit(self.round)
         )
-        images = fetched.select(
+        to_verify = fetched.select("image_id", "bytes", "w", "h", "fmt", "phash")
+        if cfg.verify_fraction < 1.0:
+            cut = int(cfg.verify_fraction * 10000)
+            to_verify = to_verify.where(
+                F.pmod(F.xxhash64("image_id"), F.lit(10000)) < cut
+            )
+        verdicts = to_verify.mapInPandas(
+            _decode_verify_udf(), "image_id string, verified boolean"
+        )
+        # verdicts are narrow (id, bool): broadcast them so the wide binary
+        # fetch rows are never shuffled; left join → unsampled rows get NULL
+        images = fetched.join(F.broadcast(verdicts), "image_id", "left").select(
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-            "url", "file_path", "round",
-        ).mapInPandas(_decode_verify_udf(), IMAGES_DDL)
+            "url", "file_path", "verified", "round",
+        )
 
         order_rows = ranked.select(
             "rank", F.lit(self.round).alias("round"), "url", "host", "attempt"
@@ -290,8 +305,11 @@ class ImageDownloader:
             .select(F.lit(self.round).alias("round"), "host", "n")
         )
 
-        self.catalog.table("dl_order").append(order_rows)
-        self.catalog.table("dl_metrics").append(metrics)
+        # small state appends coalesce to few files; the images append keeps
+        # its natural partitioning (wide binary rows, parallel write)
+        n_files = max(1, min(64, n_eligible // 200_000 + 1))
+        self.catalog.table("dl_order").append(order_rows.coalesce(n_files))
+        self.catalog.table("dl_metrics").append(metrics.coalesce(n_files))
         self.catalog.table("images").append(images)
         updates = (
             ok.select("url")
@@ -304,7 +322,9 @@ class ImageDownloader:
             )
         )
         self._merge_status(updates)
-        self.catalog.table("dl_frontier").replace(deferred.unionByName(retries))
+        self.catalog.table("dl_frontier").replace(
+            deferred.unionByName(retries).coalesce(n_files)
+        )
         self.rank_base += n_eligible
         self._checkpoint(lineage={"round": self.round, "n_eligible": n_eligible})
         with_status.unpersist()

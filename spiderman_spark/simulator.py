@@ -79,6 +79,8 @@ def simulate_crawl(
     seeds: list[dict],
     politeness: Politeness | None = None,
     callbacks: dict | None = None,
+    parse_fn=None,
+    page_callbacks: tuple = ("list", "detail"),
 ) -> SimResult:
     """Run the scrapy-redis deterministic skeleton to frontier exhaustion.
 
@@ -86,6 +88,7 @@ def simulate_crawl(
     """
     pol = politeness or Politeness()
     cbs = callbacks if callbacks is not None else DEFAULT_CALLBACKS
+    parse_fn = parse_fn or parse_body
     seen: set[str] = set()
     seen_urls: set[str] = set()
     pending: list[SimRequest] = []
@@ -157,8 +160,8 @@ def simulate_crawl(
                 else:
                     failed.append((req.url, "exhausted" if retryable else "missing"))
                 continue
-            if req.callback in ("list", "detail"):
-                new_items, children = parse_body(req.url, row["body"])
+            if req.callback in page_callbacks:
+                new_items, children = parse_fn(req.url, row["body"])
                 for tb, it in new_items:
                     items.setdefault(tb, []).append(it)
                 for child in children:
