@@ -277,10 +277,13 @@ def q32_embedding_neardup(spark, sf_dir):
 
 
 def q33_embedding_neardup_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (scale path; recall pytest-verified vs q32)."""
+    """LSH-bucketed near-dup (scale path; recall pytest-verified vs q32).
+
+    8-bit bands (planes/bands) keep bucket sizes ~n/256 so the candidate set
+    stays far below all-pairs — 2-bit bands degenerate to a quadratic join."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_lsh(
-        emb, dim=64, threshold=0.35, planes=16, bands=8
+        emb, dim=64, threshold=0.35, planes=32, bands=4
     )
 
 

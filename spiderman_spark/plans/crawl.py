@@ -63,7 +63,9 @@ CRAWL_ORDER_DDL = "rank long, round int, url string, host string, attempt int"
 FAILED_DDL = "url string, reason string, attempt int, round int"
 METRICS_DDL = "round int, host string, n long"
 
-STATE_TABLES = ("frontier", "url_seen", "crawl_order", "items_raw", "failed", "metrics")
+# per-host fetch metrics are DERIVED from crawl_order (same rows, grouped) —
+# one less write per round and one less table to keep consistent
+STATE_TABLES = ("frontier", "url_seen", "crawl_order", "items_raw", "failed")
 
 
 @dataclass
@@ -290,38 +292,36 @@ class CrawlEngine:
         admitted = nofilter.unionByName(gated).withColumn(
             "_adm", F.row_number().over(Window.orderBy("parent_seq", "child_idx"))
         )
+        from pyspark.sql import Observation
+
+        obs_children = Observation()
         children = admitted.select(
             (F.lit(self.next_seq) + F.col("_adm") - 1).alias("seq"),
             "url", "host", "method", "callback", "meta_json",
             F.lit(0).alias("attempt"),
-        ).persist()
-        n_children = children.count()
+        ).observe(obs_children, F.count(F.lit(1)).alias("n")).persist()
 
         new_pending = deferred.unionByName(retries).unionByName(children)
 
         # ---- commit the round: appends + frontier replace + checkpoint
         order_rows = ranked.select("rank", F.lit(self.round).alias("round"), "url", "host", "attempt")
-        metrics = (
-            ranked.groupBy("host")
-            .agg(F.count("*").alias("n"))
-            .select(F.lit(self.round).alias("round"), "host", "n")
-        )
         items = parsed.where("out_kind = 'item'")
 
         n_items_est = n_eligible * 8  # pages emit a handful of items each
         self.catalog.table("crawl_order").append(self._sized(order_rows, n_eligible))
-        self.catalog.table("metrics").append(self._sized(metrics, n_eligible))
         self.catalog.table("failed").append(self._sized(failed, n_eligible))
         self.catalog.table("items_raw").append(self._sized(items, n_items_est))
+        self.catalog.table("frontier").replace(
+            # sizing bound only: children unknown until the write runs
+            self._sized(new_pending, self._pending_est + n_eligible * 8)
+        )
+        n_children = int(obs_children.get["n"])  # observed on the frontier write
+        self._pending_est = max(0, self._pending_est - n_eligible) + n_eligible + n_children
         seen_tb = self.catalog.table("url_seen")
         seen_tb.append(self._sized(new_seen, n_children))
         if cfg.compact_every and self.round % cfg.compact_every == 0:
             # keep the per-round anti-join's scan list O(1) in round count
             seen_tb.replace(self._sized(seen_tb.read(), self.next_seq + n_children))
-        self._pending_est = max(0, self._pending_est - n_eligible) + n_eligible + n_children
-        self.catalog.table("frontier").replace(
-            self._sized(new_pending, self._pending_est)
-        )
         if self.bloom is not None:
             self.bloom.merge(build_bloom(new_seen, "fp", self.cfg.bloom))
 
@@ -361,7 +361,14 @@ class CrawlEngine:
         return self._read("url_seen", URL_SEEN_DDL)
 
     def metrics(self) -> DataFrame:
-        return self._read("metrics", METRICS_DDL)
+        """Per-(round, host) fetch counts — the reference's progress metrics
+        (A3/A4), derived from crawl_order (exact same rows, grouped)."""
+        return (
+            self.crawl_order()
+            .groupBy("round", "host")
+            .agg(F.count("*").alias("n"))
+            .select("round", "host", "n")
+        )
 
     def failed(self) -> DataFrame:
         return self._read("failed", FAILED_DDL)

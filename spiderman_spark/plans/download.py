@@ -64,7 +64,7 @@ IMAGES_DDL = (
 )
 DL_METRICS_DDL = "round int, host string, n long"
 
-_DL_STATE = ("dl_frontier", "dl_order", "images", "dl_metrics", "file_meta")
+_DL_STATE = ("dl_frontier", "dl_order", "images", "file_meta")
 
 
 @dataclass
@@ -150,7 +150,7 @@ class ImageDownloader:
         """S16 scan + P8 skip-if-exists → deterministic dl_frontier. Returns
         the number of queued requests."""
         cfg = self.cfg
-        for t in ("dl_frontier", "dl_order", "dl_metrics"):
+        for t in ("dl_frontier", "dl_order"):
             self.catalog.table(t).replace_empty()
         if not cfg.overwrite:
             self.catalog.table("images")  # keep prior images (skip-if-exists)
@@ -299,17 +299,11 @@ class ImageDownloader:
         order_rows = ranked.select(
             "rank", F.lit(self.round).alias("round"), "url", "host", "attempt"
         )
-        metrics = (
-            ranked.groupBy("host")
-            .agg(F.count("*").alias("n"))
-            .select(F.lit(self.round).alias("round"), "host", "n")
-        )
 
         # small state appends coalesce to few files; the images append keeps
         # its natural partitioning (wide binary rows, parallel write)
         n_files = max(1, min(64, n_eligible // 200_000 + 1))
         self.catalog.table("dl_order").append(order_rows.coalesce(n_files))
-        self.catalog.table("dl_metrics").append(metrics.coalesce(n_files))
         self.catalog.table("images").append(images)
         updates = (
             ok.select("url")
@@ -369,4 +363,10 @@ class ImageDownloader:
         return self.catalog.read_or_empty("dl_order", DL_ORDER_DDL)
 
     def metrics(self) -> DataFrame:
-        return self.catalog.read_or_empty("dl_metrics", DL_METRICS_DDL)
+        """Per-(round, host) fetch counts, derived from dl_order (A3/A4)."""
+        return (
+            self.crawl_order()
+            .groupBy("round", "host")
+            .agg(F.count("*").alias("n"))
+            .select("round", "host", "n")
+        )

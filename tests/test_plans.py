@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the optimizations the 100 TB posture relies
+on must actually appear in the plans — broadcast joins for small sides,
+predicate pushdown into parquet scans, column pruning, and no Python row
+processing outside Arrow stages.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_fk_join_broadcasts_dim_side(spark):
+    plan = plan_of(entrymod.q13_join_agg_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(entrymod.q14_lineitem_rollup(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # only the needed columns reach the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = plan_of(entrymod.q01_patch_antijoin(spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan
+
+
+def test_status_filter_pushed_to_scan(spark):
+    plan = plan_of(entrymod.q06_status_filter(spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "event_type" in pushed and "value" in pushed
+
+
+def test_crawl_fetch_join_broadcasts_batch_not_corpus(spark):
+    """The per-round eligible batch must be the broadcast side; the corpus
+    scan must never shuffle (SURVEY.md J3 / crawl.py scale posture)."""
+    from spiderman_spark import corpusgen as cg
+
+    corpus = cg.build_crawl_corpus(spark, cg.UNIT)
+    batch = spark.createDataFrame(
+        [(0, cg.list_url(cg.UNIT, 1))], "seq long, url string"
+    )
+    fetched = corpus.join(F.broadcast(batch), "url", "inner")
+    plan = plan_of(fetched)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # corpus side not shuffled
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    """exact dedup must do map-side partial aggregation (two HashAggregates
+    around one exchange), not shuffle raw rows."""
+    plan = plan_of(entrymod.q16_dedup_exact(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_relational_queries(spark):
+    """AQE wraps plans in AdaptiveSparkPlan before execution, hiding codegen
+    markers — disable it briefly to assert the rollup compiles into
+    whole-stage-codegen'd stages."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(entrymod.q14_lineitem_rollup(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "codegen id" in plan  # Spark 4 formatted-mode codegen marker
