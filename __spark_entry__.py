@@ -221,15 +221,19 @@ def q17_ngram_jaccard(spark, sf_dir):
 
 
 def q18_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (xxhash64 family — no DuckDB analog;
-    recall vs exact Jaccard is pytest-verified)."""
+    """MinHash+LSH near-dup pairs.  md5-hex hash family → the full pipeline
+    (shingle → 32-perm signature → 8-band buckets → candidate join → exact
+    Jaccard verify) has an equivalent DuckDB oracle; recall vs exact Jaccard
+    is additionally pytest-verified."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=1, k=32, bands=8, threshold=0.6)
 
 
 def q19_simhash(spark, sf_dir):
+    """64-bit SimHash (md5 bit family, hex output → DuckDB-oracled; the
+    xxhash64 `dedup.simhash` fast path is property-tested in pytest)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "doc_id", "text")
+    return dedup.simhash_hex(docs, "doc_id", "text")
 
 
 def q20_token_count(spark, sf_dir):
@@ -559,13 +563,79 @@ def oracle_sql() -> dict[str, str]:
             " list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) * 1000) AS BIGINT)"
             " AS sum_norm_x1000 FROM embeddings GROUP BY label"
         ),
-        # q18_minhash_lsh, q19_simhash: xxhash64 family — not expressible in
-        # DuckDB; verified in pytest against exact Jaccard / hamming props.
+        # q18/q19: md5-family generated oracles below.
         # q21_lang_id, q22_quality_score: oracled below (generated).
-        # q25_ann_lsh_topk: recall vs q24 pytest-verified.
-        # q27_crawl_order: verified bit-exact vs the reference simulator in
-        # tests/test_crawl_parity.py (rows-only here).
+        # q25_ann_lsh_topk / q33: sign-sketch LSH over numpy-seeded
+        # hyperplanes — no DuckDB analog; recall pytest-verified vs the
+        # oracled exact variants (q24/q32).
+        # q27/q28: oracled below against SIMULATOR-derived parquet fixtures
+        # (tests/make_fixtures.py) — plus bit-exact engine-vs-simulator
+        # parity in tests/test_crawl_parity.py.
     }
+    _fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+    sql["q27_crawl_order"] = (
+        "SELECT CAST(rank AS BIGINT) AS rank, CAST(round AS INT) AS round,"
+        " url, host, CAST(attempt AS INT) AS attempt"
+        f" FROM read_parquet('{_fix}/q27_crawl_order.parquet')"
+    )
+    sql["q28_image_download"] = (
+        "SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, fmt,"
+        " CAST(phash AS BIGINT) AS phash, CAST(verified AS BOOLEAN) AS verified"
+        f" FROM read_parquet('{_fix}/q28_images.parquet')"
+    )
+    # generated q18 oracle: same md5-slice minhash family, banding, and
+    # truncated-basis-point jaccard as dedup.minhash_lsh_pairs (n=1, k=32,
+    # bands=8, threshold 0.6)
+    _k, _bands, _rpb, _thr = 32, 8, 4, 6000
+    _mh = lambda i: (
+        "list_aggregate(list_transform(grams,"
+        f" g -> substring(md5('{i}:' || g), 1, 16)), 'min')"
+    )
+    _sig_cols = ", ".join(f"{_mh(i)} AS s{i}" for i in range(_k))
+    _band_rows = " UNION ALL ".join(
+        f"SELECT did, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"s{i}" for i in range(b * _rpb, (b + 1) * _rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(_bands)
+    )
+    sql["q18_minhash_lsh"] = (
+        "WITH sh AS (SELECT doc_id AS did,"
+        " list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS grams"
+        " FROM documents), shf AS (SELECT * FROM sh WHERE len(grams) > 0),"
+        f" sig AS (SELECT did, {_sig_cols} FROM shf),"
+        f" band AS ({_band_rows}),"
+        " cand AS (SELECT DISTINCT x.did AS id_a, y.did AS id_b FROM band x"
+        " JOIN band y ON x.band = y.band AND x.bucket = y.bucket AND x.did < y.did),"
+        " v AS (SELECT id_a, id_b, len(list_intersect(a.grams, b.grams)) AS common,"
+        " len(a.grams) AS sa, len(b.grams) AS sb FROM cand"
+        " JOIN shf a ON id_a = a.did JOIN shf b ON id_b = b.did)"
+        " SELECT id_a, id_b,"
+        " CAST(FLOOR(common * 10000.0 / (sa + sb - common)) AS BIGINT) AS jaccard_bp"
+        f" FROM v WHERE FLOOR(common * 10000.0 / (sa + sb - common)) >= {_thr}"
+    )
+    # generated q19 oracle: md5-slice nibble bits, ±1 sums, MSB-first hex
+    _nib = lambda j: f"(strpos('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
+    _sums = ", ".join(
+        f"sum(CASE WHEN (({_nib(i // 4)} >> {3 - i % 4}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    _nibchar = lambda j: (
+        "substring('0123456789abcdef', "
+        + " + ".join(
+            f"(CASE WHEN b{j * 4 + s} > 0 THEN {1 << (3 - s)} ELSE 0 END)"
+            for s in range(4)
+        )
+        + " + 1, 1)"
+    )
+    _hexconcat = " || ".join(_nibchar(j) for j in range(16))
+    sql["q19_simhash"] = (
+        "WITH tok AS (SELECT doc_id AS did,"
+        " substring(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 16) AS h"
+        " FROM documents),"
+        f" bs AS (SELECT did, {_sums} FROM tok GROUP BY did)"
+        f" SELECT did, {_hexconcat} AS simhash_hex FROM bs"
+    )
     sql["q32_embedding_neardup"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
         " CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_x10k"

@@ -67,7 +67,9 @@ def main(argv=None):
             args.pages,
             lambda p: cg.list_url(spec, p),
         )
-        engine.seed(seeds)
+        # frontier-only reseed: the previously crawled items/url_seen in this
+        # workdir are exactly what the patch completes — never reset them
+        engine.seed(seeds, preserve_state=True)
     else:
         engine.seed(sim.make_seeds(spec))
 

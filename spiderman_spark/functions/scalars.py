@@ -64,8 +64,13 @@ def pkey(col: Column) -> Column:
 def rowkey(bizdate: str, *cols: Column) -> Column:
     """D4: ``bizdate_<hash>`` rowkey. The reference uses uuid1 (time/MAC
     dependent, `base.py:43-46`); the deterministic replacement hashes the
-    identifying columns instead (SURVEY.md §7.3.2)."""
-    return F.concat(F.lit(bizdate), F.lit("_"), F.md5(F.concat_ws("|", *cols)))
+    identifying columns instead (SURVEY.md §7.3.2).
+
+    NULLs coalesce to a sentinel before concat_ws (which silently DROPS null
+    members): without it ('a', NULL, 'b') and ('a', 'b', NULL) would collide
+    to the same primary key."""
+    safe = [F.coalesce(c.cast("string"), F.lit("\x00NULL")) for c in cols]
+    return F.concat(F.lit(bizdate), F.lit("_"), F.md5(F.concat_ws("|", *safe)))
 
 
 def b64_encode(col: Column) -> Column:

@@ -34,9 +34,15 @@ def canonical(url: str) -> str:
     return url
 
 
-def fingerprint(method: str, url: str) -> str:
-    """sha1(method + ':' + canonical url) hexdigest — the dedup key."""
-    return hashlib.sha1(f"{method}:{canonical(url)}".encode()).hexdigest()
+def fingerprint(method: str, url: str, body: str = "") -> str:
+    """sha1 over (method, canonical url, request body) hexdigest — the dedup
+    key.  Matches scrapy's request_fingerprint skeleton, which hashes the
+    body too (`SP/utils/base.py:18-25` carries ``body`` on ScheduledRequest;
+    `SP/spiders/SPRedisSpider.py:39-50` builds FormRequests from it): two
+    POSTs to one URL with different payloads are different requests."""
+    return hashlib.sha1(
+        f"{method}:{canonical(url)}:{body or ''}".encode()
+    ).hexdigest()
 
 
 def urljoin(base: str, link: str) -> str:
@@ -63,9 +69,12 @@ def register_udfs():
         return urls.map(canonical)
 
     @F.pandas_udf(StringType())
-    def fingerprint_udf(methods: pd.Series, urls: pd.Series) -> pd.Series:
+    def fingerprint_udf(
+        methods: pd.Series, urls: pd.Series, bodies: pd.Series
+    ) -> pd.Series:
         return pd.Series(
-            [fingerprint(m, u) for m, u in zip(methods, urls)], dtype="object"
+            [fingerprint(m, u, b) for m, u, b in zip(methods, urls, bodies)],
+            dtype="object",
         )
 
     @F.pandas_udf(StringType())

@@ -187,13 +187,19 @@ def build_bloom(df, value_col: str, cfg: BloomConfig) -> BloomSet:
     return bloom
 
 
-def maybe_seen_udf(spark, bloom: BloomSet):
-    """Broadcast the bitmaps; return a pandas UDF col: True = maybe seen."""
+def publish_bloom(spark, bloom: BloomSet):
+    """Broadcast the bitmaps once; the caller owns the lifecycle (reuse across
+    rounds, ``destroy()`` the previous handle after a merge+republish — without
+    that, a long crawl accrues one full bitmap copy per round)."""
+    return spark.sparkContext.broadcast((bloom.cfg, bloom.bitmaps))
+
+
+def maybe_seen_from_broadcast(bc):
+    """Pandas-UDF membership probe over an already-published broadcast:
+    True = maybe seen (all k bits set), False = definitely new."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
-
-    bc = spark.sparkContext.broadcast((bloom.cfg, bloom.bitmaps))
 
     def _maybe_seen(values):
         cfg, bitmaps = bc.value
@@ -203,3 +209,10 @@ def maybe_seen_udf(spark, bloom: BloomSet):
     # lambda-style registration: the module uses `from __future__ import
     # annotations`, which stringifies hints and breaks signature inference
     return F.pandas_udf(_maybe_seen, BooleanType())
+
+
+def maybe_seen_udf(spark, bloom: BloomSet):
+    """One-shot convenience: broadcast + probe (tests / ad-hoc use).  Engines
+    that loop over rounds should use publish_bloom + maybe_seen_from_broadcast
+    and manage the broadcast lifecycle explicitly."""
+    return maybe_seen_from_broadcast(publish_bloom(spark, bloom))

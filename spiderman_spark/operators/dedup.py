@@ -82,24 +82,51 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "common", "size_a", "size_b", "jaccard_bp")
 
 
+def minhash_value(gram_col, i: int):
+    """MinHash permutation i of one gram: the first 16 hex chars of
+    md5('<i>:' || gram).  Lexicographic order over fixed-width lowercase hex
+    equals numeric order over the uint64 it encodes, so ``array_min`` is the
+    permutation minimum — and the *identical* expression exists in DuckDB
+    (``substring(md5(...), 1, 16)``), making the whole family cross-engine
+    checkable, unlike xxhash64 (round-1 VERDICT next-step #6)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{i}:"), gram_col)), 1, 16)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 32
 ) -> DataFrame:
-    """(id, sig array<long>): k-permutation MinHash over word n-grams.
+    """(id, sig array<string>): k-permutation MinHash over word n-grams.
 
-    Hash family: xxhash64(gram, i) — JVM-vectorized, no Python.  min over the
-    shingle set per seed.
-    """
+    All JVM built-ins (md5/substring/array_min inside whole-stage codegen),
+    no Python in the path."""
     sh = df.select(
         F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
     ).where(F.size("grams") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform("grams", lambda g: F.xxhash64(g, F.lit(i))))
-            for i in range(k)
-        ]
+    return sh.select("did", _sig_expr(k).alias("sig"))
+
+
+def _sig_expr(k: int):
+    # NB: close over i via a factory — a `lambda g, i=i:` default-arg would
+    # make F.transform see a TWO-arg callable and feed the array index in as
+    # the second argument, silently collapsing all k permutations into one
+    def perm_min(i: int):
+        return F.array_min(F.transform("grams", lambda g: minhash_value(g, i)))
+
+    return F.array(*[perm_min(i) for i in range(k)])
+
+
+def band_bucket(sig_col_name: str, b: int, rows_per_band: int):
+    """Band b's bucket key: md5 over the band's signature slice (fixed-width
+    join key instead of a concatenated 16*r-char string)."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            *[
+                F.col(sig_col_name)[i]
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
     )
-    return sh.select("did", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -113,12 +140,21 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs from banded LSH, then exact Jaccard verify on candidates.
 
-    Shuffle is keyed by (band, xxhash64(rows of the band)) — bucket groups stay
-    tiny, so the pair blow-up is bounded; the exact verify touches only
-    candidates (the 100 TB-scale near-dup plan).
-    """
+    Shuffle is keyed by (band, md5-of-band-slice) — bucket groups stay tiny,
+    so the pair blow-up is bounded; the exact verify touches only candidates
+    (the 100 TB-scale near-dup plan).  The shingle pass is computed ONCE and
+    persisted — signatures, banding, and the verify joins all read it (the
+    round-1 headline profile showed the tokenize+shingle expression tree,
+    evaluated three times, dominating q18)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    sh = (
+        df.select(
+            F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
+        )
+        .where(F.size("grams") > 0)
+        .persist()
+    )
+    sigs = sh.select("did", _sig_expr(k).alias("sig"))
     banded = sigs.select(
         "did",
         F.explode(
@@ -126,9 +162,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                        ).alias("bucket"),
+                        band_bucket("sig", b, rows_per_band).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -141,9 +175,6 @@ def minhash_lsh_pairs(
         .where(F.col("x.did") < F.col("y.did"))
         .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
         .distinct()
-    )
-    sh = df.select(
-        F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
     )
     a = sh.select(F.col("did").alias("id_a"), F.col("grams").alias("ga"))
     b = sh.select(F.col("did").alias("id_b"), F.col("grams").alias("gb"))
@@ -161,6 +192,38 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard_bp") >= int(threshold * 10000))
     )
     return verified.select("id_a", "id_b", "jaccard_bp")
+
+
+HEX_CHARS = "0123456789abcdef"
+
+
+def simhash_hex(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash_hex string): 64-bit SimHash as 16 lowercase hex chars,
+    bit source = the first 16 hex chars of md5(token) (MSB-first per nibble).
+
+    Same structure as ``simhash`` (explode → 64 codegen'd ±1 bit-sums → sign
+    bits) with the md5 bit family instead of xxhash64, so the whole operator
+    is expressible in DuckDB SQL and fully oracle-checked (round-1 VERDICT
+    next-step #6); the hex-string output sidesteps signed-64 overflow
+    differences between engines.  ``simhash`` stays the cheaper production
+    path — property-tested in pytest."""
+    tok = df.select(
+        F.col(id_col).alias("did"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.substring(F.md5("t"), 1, 16))
+    aggs = []
+    for i in range(64):
+        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, 3 - i % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    bit_sums = tok.groupBy("did").agg(*aggs)
+    hexmap = F.array(*[F.lit(c) for c in HEX_CHARS])
+    nib_chars = []
+    for j in range(16):
+        val = F.lit(0)
+        for s in range(4):  # bit j*4+s holds weight 2^(3-s) (MSB-first)
+            val = val + F.when(F.col(f"b{j * 4 + s}") > 0, F.lit(1 << (3 - s))).otherwise(F.lit(0))
+        nib_chars.append(F.element_at(hexmap, (val + 1).cast("int")))
+    return bit_sums.select("did", F.concat(*nib_chars).alias("simhash_hex"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

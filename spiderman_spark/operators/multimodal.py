@@ -34,18 +34,37 @@ FRAME_SAMPLE_DDL = "media_id string, frame_idx int, frame_bytes binary, w int, h
 AUDIO_FEATURES_DDL = "media_id string, n_samples long, rms double, zero_crossings long"
 
 
-def _block_mean_resize(px, out_w: int, out_h: int):
-    """Area-average resize via index binning (any size -> any size)."""
+def _resize_axis(a, out_n: int, axis: int):
+    """One axis of the resize: block mean when shrinking (every source index
+    lands in exactly one output bin → no bin is ever empty), nearest-index
+    gather when growing (every OUTPUT index maps to a source index → no
+    0-count NaN cells, the bug this replaces)."""
     import numpy as np
 
-    h, w, _ = px.shape
-    yi = (np.arange(h) * out_h) // h
-    xi = (np.arange(w) * out_w) // w
-    out = np.zeros((out_h, out_w, 3), dtype=np.float64)
-    cnt = np.zeros((out_h, out_w, 1), dtype=np.float64)
-    np.add.at(out, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), px.astype(np.float64))
-    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
-    return np.clip(out / cnt, 0, 255).astype(np.uint8)
+    n = a.shape[axis]
+    if out_n == n:
+        return a
+    if out_n < n:
+        bins = (np.arange(n) * out_n) // n
+        starts = np.searchsorted(bins, np.arange(out_n))
+        counts = np.diff(np.append(starts, n)).reshape(
+            [-1 if i == axis else 1 for i in range(a.ndim)]
+        )
+        summed = np.add.reduceat(a, starts, axis=axis)
+        return summed / counts
+    idx = (np.arange(out_n) * n) // out_n
+    return np.take(a, idx, axis=axis)
+
+
+def _block_mean_resize(px, out_w: int, out_h: int):
+    """Area-average resize, any size -> any size (per-axis down=mean, up=
+    nearest; for pure downscale this equals the rectangular block mean since
+    the row/column bin counts factorize)."""
+    import numpy as np
+
+    out = _resize_axis(px.astype(np.float64), out_h, 0)
+    out = _resize_axis(out, out_w, 1)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def image_stats(images: DataFrame) -> DataFrame:

@@ -25,8 +25,8 @@ from ..parselib import parse_body
 
 PARSE_OUT_DDL = (
     "out_kind string, tablename string, item_json string,"
-    " url string, method string, callback string, meta_json string,"
-    " parent_seq long, child_idx int, parent_url string"
+    " url string, method string, callback string, body string,"
+    " meta_json string, parent_seq long, child_idx int, parent_url string"
 )
 
 
@@ -55,6 +55,7 @@ def parse_pages(fetched_ok: DataFrame, parse_fn=None) -> DataFrame:
                             "url": None,
                             "method": None,
                             "callback": None,
+                            "body": None,
                             "meta_json": None,
                             "parent_seq": int(seq),
                             "child_idx": 0,
@@ -70,6 +71,7 @@ def parse_pages(fetched_ok: DataFrame, parse_fn=None) -> DataFrame:
                             "url": child["url"],
                             "method": child.get("method", "GET"),
                             "callback": child["callback"],
+                            "body": child.get("body", "") or "",
                             "meta_json": json.dumps(child.get("meta", {})),
                             "parent_seq": int(seq),
                             "child_idx": idx,
@@ -80,7 +82,8 @@ def parse_pages(fetched_ok: DataFrame, parse_fn=None) -> DataFrame:
                 out,
                 columns=[
                     "out_kind", "tablename", "item_json", "url", "method",
-                    "callback", "meta_json", "parent_seq", "child_idx", "parent_url",
+                    "callback", "body", "meta_json", "parent_seq", "child_idx",
+                    "parent_url",
                 ],
             )
 
@@ -103,5 +106,5 @@ def items_of(parsed: DataFrame, tablename: str, ddl: str) -> DataFrame:
 
 def requests_of(parsed: DataFrame) -> DataFrame:
     return parsed.where(F.col("out_kind") == "request").select(
-        "url", "method", "callback", "meta_json", "parent_seq", "child_idx"
+        "url", "method", "callback", "body", "meta_json", "parent_seq", "child_idx"
     )

@@ -31,11 +31,13 @@ Scale posture (the parts that matter at a 10^10-row frontier):
   round, crashes roll back to the last checkpoint, and resume is a manifest
   read (north rule: resumable from snapshot checkpoints with lineage+metrics).
 
-The two global windows (rank assignment, child seq assignment) run on
-*one round's* eligible/children rows only — bounded by politeness budget, not
-frontier size.  (If a single round's children outgrow one task, the same
-order key (parent_seq, child_idx) supports a range-partitioned two-phase
-rank; kept simple here since budget bounds the batch.)
+Global rank assignment and child seq assignment use the two-phase
+range-partitioned rank (operators/ranks.py) — no single-partition Exchange in
+the round, so a 10^6–10^8-row round (the north rule's frontier scale) never
+funnels through one task.  The offset-collect jobs double as the round's row
+counts, and the five per-round state writes run concurrently, keeping the
+fixed driver barrier to ~2 small actions + max(write) instead of
+count + 5 sequential writes.
 """
 
 from __future__ import annotations
@@ -48,15 +50,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..corpusgen import RETRY_HTTP_CODES
-from ..operators import politeness
-from ..operators.bloom import BloomConfig, BloomSet, build_bloom, maybe_seen_udf
+from ..operators import politeness, ranks
+from ..operators.bloom import (
+    BloomConfig,
+    BloomSet,
+    build_bloom,
+    maybe_seen_from_broadcast,
+    publish_bloom,
+)
 from ..operators.parse import items_of, parse_pages, requests_of
 from ..spiderspec import ZHIFANG, SpiderSpec
 from ..tableio import Catalog
 
 FRONTIER_DDL = (
     "seq long, url string, host string, method string, callback string,"
-    " meta_json string, attempt int"
+    " req_body string, meta_json string, attempt int"
 )
 URL_SEEN_DDL = "fp string, url_hash long, url string"
 CRAWL_ORDER_DDL = "rank long, round int, url string, host string, attempt int"
@@ -115,35 +123,69 @@ class CrawlEngine:
         self.next_seq = 0
         self.rank_base = 0
         self.bloom = BloomSet(self.cfg.bloom) if self.cfg.bloom else None
+        # one live broadcast of the bitmaps; republished (and the old handle
+        # destroyed) only on merge — constant executor memory over any number
+        # of rounds instead of one bitmap copy leaked per round
+        self._bloom_bc = None
+        self.bloom_broadcasts_destroyed = 0
         self._pending_est = 0  # running upper bound on frontier size
         self._ckpt_path = os.path.join(workdir, "checkpoint.json")
 
+    def _drop_bloom_broadcast(self) -> None:
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+            self.bloom_broadcasts_destroyed += 1
+            self._bloom_bc = None
+
+    def _bloom_probe(self):
+        """Current-round membership probe column fn, reusing the live
+        broadcast (published lazily on first use)."""
+        if self._bloom_bc is None:
+            self._bloom_bc = publish_bloom(self.spark, self.bloom)
+        return maybe_seen_from_broadcast(self._bloom_bc)
+
     # ------------------------------------------------------------ lifecycle
 
-    def seed(self, seeds: list[dict]) -> None:
-        """Fresh crawl: reset state tables and enqueue seeds in order —
-        the analogue of key deletion + reqs_push (`SP_JOBS/job.py:38,75-77`)."""
+    def seed(self, seeds: list[dict], preserve_state: bool = False) -> None:
+        """Enqueue seeds in order — the analogue of key deletion + reqs_push
+        (`SP_JOBS/job.py:38,75-77`).
+
+        ``preserve_state=False`` (fresh crawl): reset every state table.
+        ``preserve_state=True`` (patch crawl): replace ONLY the frontier;
+        items_raw / crawl_order / failed keep the previously crawled work the
+        patch is meant to complete, and url_seen is kept so the dedup gate
+        still holds across the patch (the reference patch job pushes into the
+        live Redis queue without deleting the sink DB,
+        `SP_JOBS/zhifang_job_patch.py:62-76`)."""
+        base = self.next_seq if preserve_state else 0
         rows = [
             (
-                i,
+                base + i,
                 s["url"],
                 s["url"].split("/", 3)[2],
                 s.get("method", "GET"),
                 s.get("callback", "list"),
+                s.get("body", "") or "",
                 json.dumps(s.get("meta", {})),
                 0,
             )
             for i, s in enumerate(seeds)
         ]
-        for t in STATE_TABLES:
-            self.catalog.table(t).replace_empty()
+        if not preserve_state:
+            for t in STATE_TABLES:
+                self.catalog.table(t).replace_empty()
         self.catalog.table("frontier").replace(
             self.spark.createDataFrame(rows, FRONTIER_DDL)
         )
-        self.round, self.next_seq, self.rank_base = 0, len(rows), 0
-        self._pending_est = len(rows)
-        if self.bloom is not None:
-            self.bloom = BloomSet(self.cfg.bloom)
+        if preserve_state:
+            self.next_seq += len(rows)
+            self._pending_est = len(rows)
+        else:
+            self.round, self.next_seq, self.rank_base = 0, len(rows), 0
+            self._pending_est = len(rows)
+            if self.bloom is not None:
+                self._drop_bloom_broadcast()
+                self.bloom = BloomSet(self.cfg.bloom)
         self._checkpoint()
 
     def _checkpoint(self, lineage: dict | None = None) -> None:
@@ -176,6 +218,7 @@ class CrawlEngine:
         self._pending_est = state["next_seq"]
         if self.cfg.bloom is not None:
             # the bitmap is derived state: rebuild from the url_seen snapshot
+            self._drop_bloom_broadcast()
             self.bloom = build_bloom(
                 self._read("url_seen", URL_SEEN_DDL), "fp", self.cfg.bloom
             )
@@ -192,9 +235,18 @@ class CrawlEngine:
         return df.coalesce(parts)
 
     def step(self) -> int:
-        """Run one frontier round; returns number of pages fetched (0 ⇒ done)."""
+        """Run one frontier round; returns number of pages fetched (0 ⇒ done).
+
+        Driver-barrier budget (engineered down for the N→4N scaling
+        criterion): TWO small actions (the offset collects below, which double
+        as the round's row counts — no separate ``count()``) plus the state
+        writes, which run CONCURRENTLY from a thread pool (wall ≈ slowest
+        write, not the sum).  Global rank/admission ordering uses the
+        two-phase range rank (operators/ranks.py) — no single-partition
+        Exchange anywhere in the round, so no operator caps round size."""
         cfg = self.cfg
         pending = self._read("frontier", FRONTIER_DDL)
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
         tagged = politeness.select_eligible(
             pending, cfg.default_budget, self.budgets, cfg.salt_buckets
@@ -202,15 +254,17 @@ class CrawlEngine:
         eligible = tagged.where("is_eligible").drop("is_eligible")
         deferred = tagged.where("NOT is_eligible").drop("is_eligible")
 
-        n_eligible = eligible.count()
+        epart = ranks.range_prepare(eligible, ["seq"], nparts).persist()
+        eoffs, n_eligible = ranks.collect_offsets(epart)  # action 1 of 2
         if n_eligible == 0:
+            epart.unpersist()
             tagged.unpersist()
             return 0
         self.round += 1
 
-        ranked = eligible.withColumn(
-            "rank", F.lit(self.rank_base) + F.row_number().over(Window.orderBy("seq"))
-        ).persist()
+        ranked = ranks.with_rank(
+            epart, ["seq"], "rank", eoffs, base=self.rank_base
+        ).drop("_pid")
 
         # fetch = join the small per-round batch INTO the big corpus scan
         batch = F.broadcast(ranked) if cfg.broadcast_eligible else ranked
@@ -229,8 +283,8 @@ class CrawlEngine:
         retries = (
             not_ok.where(retry_pred & (F.col("attempt") < cfg.retry_times))
             .select(
-                "seq", "url", "host", "method", "callback", "meta_json",
-                (F.col("attempt") + 1).alias("attempt"),
+                "seq", "url", "host", "method", "callback", "req_body",
+                "meta_json", (F.col("attempt") + 1).alias("attempt"),
             )
         )
         failed = (
@@ -257,9 +311,9 @@ class CrawlEngine:
         from ..functions.urltools import register_udfs
 
         udfs = register_udfs()
-        reqs = reqs.withColumn("fp", udfs["fingerprint"]("method", "url")).withColumn(
-            "canon", udfs["canonical"]("url")
-        )
+        reqs = reqs.withColumn(
+            "fp", udfs["fingerprint"]("method", "url", "body")
+        ).withColumn("canon", udfs["canonical"]("url"))
         nofilter_cbs = [cb for cb, dont in cfg.callbacks.items() if dont]
         nofilter = reqs.where(F.col("callback").isin(nofilter_cbs))
         gated = reqs.where(~F.col("callback").isin(nofilter_cbs))
@@ -275,7 +329,7 @@ class CrawlEngine:
             # Bloom pre-filter: rows the filter calls "definitely new" never
             # touch the url_seen table; only "maybe seen" rows (true dups +
             # the tiny FP fraction) probe the exact anti-join.
-            probe = maybe_seen_udf(self.spark, self.bloom)
+            probe = self._bloom_probe()
             flagged = gated.withColumn("_maybe", probe("fp"))
             fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
             maybe = flagged.where(F.col("_maybe")).drop("_maybe")
@@ -289,41 +343,60 @@ class CrawlEngine:
             "fp", F.xxhash64("canon").alias("url_hash"), F.col("url")
         )
 
-        admitted = nofilter.unionByName(gated).withColumn(
-            "_adm", F.row_number().over(Window.orderBy("parent_seq", "child_idx"))
-        )
-        from pyspark.sql import Observation
-
-        obs_children = Observation()
-        children = admitted.select(
+        admitted = nofilter.unionByName(gated)
+        apart = ranks.range_prepare(
+            admitted, ["parent_seq", "child_idx"], nparts
+        ).persist()
+        # action 2 of 2: admission offsets + exact child count in one job
+        # (this also materializes the fetch/parse/dedup chain into cache, so
+        # the concurrent writes below mostly read persisted data)
+        aoffs, n_children = ranks.collect_offsets(apart)
+        children = ranks.with_rank(
+            apart, ["parent_seq", "child_idx"], "_adm", aoffs
+        ).select(
             (F.lit(self.next_seq) + F.col("_adm") - 1).alias("seq"),
-            "url", "host", "method", "callback", "meta_json",
+            "url", "host", "method", "callback",
+            F.col("body").alias("req_body"), "meta_json",
             F.lit(0).alias("attempt"),
-        ).observe(obs_children, F.count(F.lit(1)).alias("n")).persist()
+        )
 
         new_pending = deferred.unionByName(retries).unionByName(children)
 
-        # ---- commit the round: appends + frontier replace + checkpoint
+        # ---- commit the round: all five state writes run concurrently
+        # (independent tables → independent manifests; Spark schedules the
+        # jobs in parallel), then checkpoint
         order_rows = ranked.select("rank", F.lit(self.round).alias("round"), "url", "host", "attempt")
         items = parsed.where("out_kind = 'item'")
 
         n_items_est = n_eligible * 8  # pages emit a handful of items each
-        self.catalog.table("crawl_order").append(self._sized(order_rows, n_eligible))
-        self.catalog.table("failed").append(self._sized(failed, n_eligible))
-        self.catalog.table("items_raw").append(self._sized(items, n_items_est))
-        self.catalog.table("frontier").replace(
-            # sizing bound only: children unknown until the write runs
-            self._sized(new_pending, self._pending_est + n_eligible * 8)
+        self._pending_est = (
+            max(0, self._pending_est - n_eligible) + n_eligible + n_children
         )
-        n_children = int(obs_children.get["n"])  # observed on the frontier write
-        self._pending_est = max(0, self._pending_est - n_eligible) + n_eligible + n_children
         seen_tb = self.catalog.table("url_seen")
-        seen_tb.append(self._sized(new_seen, n_children))
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: self.catalog.table("crawl_order").append(self._sized(order_rows, n_eligible)),
+            lambda: self.catalog.table("failed").append(self._sized(failed, n_eligible)),
+            lambda: self.catalog.table("items_raw").append(self._sized(items, n_items_est)),
+            lambda: self.catalog.table("frontier").replace(self._sized(new_pending, self._pending_est)),
+            lambda: seen_tb.append(self._sized(new_seen, max(n_children, 1))),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
         if cfg.compact_every and self.round % cfg.compact_every == 0:
             # keep the per-round anti-join's scan list O(1) in round count
             seen_tb.replace(self._sized(seen_tb.read(), self.next_seq + n_children))
         if self.bloom is not None:
-            self.bloom.merge(build_bloom(new_seen, "fp", self.cfg.bloom))
+            # all jobs that probed via the live broadcast have completed by
+            # here (state writes above are eager), so after merging the
+            # round's delta the old handle can be destroyed safely; the next
+            # round republishes lazily.  No-delta rounds keep the broadcast.
+            delta = build_bloom(new_seen, "fp", self.cfg.bloom)
+            if delta.bitmaps.any():
+                self.bloom.merge(delta)
+                self._drop_bloom_broadcast()
 
         self.next_seq += n_children
         self.rank_base += n_eligible
@@ -337,9 +410,9 @@ class CrawlEngine:
         parsed.unpersist()
         found.unpersist()
         tagged.unpersist()
-        ranked.unpersist()
+        epart.unpersist()
+        apart.unpersist()
         gated.unpersist()
-        children.unpersist()
         return n_eligible
 
     def run(self) -> dict:
@@ -380,8 +453,8 @@ class CrawlEngine:
         raw = self._read(
             "items_raw",
             "out_kind string, tablename string, item_json string, url string,"
-            " method string, callback string, meta_json string, parent_seq long,"
-            " child_idx int, parent_url string",
+            " method string, callback string, body string, meta_json string,"
+            " parent_seq long, child_idx int, parent_url string",
         )
         cfg = self.cfg
         typed = items_of(raw, tablename, self.spec.item_tables[tablename])

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..corpusgen import RETRY_HTTP_CODES
-from ..operators import politeness
+from ..operators import politeness, ranks
 from ..tableio import Catalog
 
 STATUS_PENDING = "未下载"
@@ -85,6 +85,11 @@ class DownloadConfig:
     # rest path stays entirely JVM-side.  Unverified rows carry verified=NULL
     # ("not checked"), never a claimed True.
     verify_fraction: float = 1.0
+    # file_meta hash-bucket count: the per-round status MERGE rewrites only
+    # the buckets its updates hash into (O(updates), not O(table) — at a
+    # 100 TB file_meta the old full-table rewrite IS the job).  Size so one
+    # bucket ≈ a few hundred MB at target scale.
+    meta_buckets: int = 32
 
 
 def _decode_verify_udf():
@@ -156,7 +161,9 @@ class ImageDownloader:
             self.catalog.table("images")  # keep prior images (skip-if-exists)
         else:
             self.catalog.table("images").replace_empty()
-        self.catalog.table("file_meta").replace(file_meta)
+        self.catalog.table("file_meta").replace_bucketed(
+            file_meta, "file_url", cfg.meta_buckets
+        )
 
         todo = file_meta.where(
             F.col("status").isin(STATUS_PENDING, STATUS_FAIL)
@@ -178,10 +185,14 @@ class ImageDownloader:
                 ).withColumn("new_path", self._path_col(F.col("url")))
             )
 
+        # deterministic seq = global rank by keyid, two-phase (no
+        # single-partition window over what is the full job scan at scale)
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        tpart = ranks.range_prepare(todo, ["keyid"], nparts).persist()
+        toffs, _ = ranks.collect_offsets(tpart)
         seeds = (
-            todo.withColumn(
-                "seq", F.row_number().over(Window.orderBy("keyid")).cast("long") - 1
-            )
+            ranks.with_rank(tpart, ["keyid"], "_rk", toffs)
+            .withColumn("seq", F.col("_rk").cast("long") - 1)
             .select(
                 "seq",
                 F.col("file_url").alias("url"),
@@ -194,9 +205,11 @@ class ImageDownloader:
             )
         )
         self.catalog.table("dl_frontier").replace(seeds)
+        n_seeds = seeds.count()
+        tpart.unpersist()
         self.round, self.rank_base = 0, 0
         self._checkpoint()
-        return seeds.count()
+        return n_seeds
 
     def _path_col(self, url_col):
         """FILES_STORE/<spider>/<file_name> (`download.py:85-95`), sanitized
@@ -237,20 +250,24 @@ class ImageDownloader:
     def step(self) -> int:
         cfg = self.cfg
         pending = self.catalog.read_or_empty("dl_frontier", DL_FRONTIER_DDL)
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         tagged = politeness.select_eligible(
             pending, cfg.default_budget, self.budgets, cfg.salt_buckets
         ).persist()
         eligible = tagged.where("is_eligible").drop("is_eligible")
         deferred = tagged.where("NOT is_eligible").drop("is_eligible")
-        n_eligible = eligible.count()
+
+        epart = ranks.range_prepare(eligible, ["seq"], nparts).persist()
+        eoffs, n_eligible = ranks.collect_offsets(epart)  # doubles as count()
         if n_eligible == 0:
+            epart.unpersist()
             tagged.unpersist()
             return 0
         self.round += 1
 
-        ranked = eligible.withColumn(
-            "rank", F.lit(self.rank_base) + F.row_number().over(Window.orderBy("seq"))
-        )
+        ranked = ranks.with_rank(
+            epart, ["seq"], "rank", eoffs, base=self.rank_base
+        ).drop("_pid")
         batch = F.broadcast(ranked)
         with_status = self.status_corpus.join(batch, "url", "inner").persist()
         missing = ranked.join(with_status.select("url"), "url", "left_anti")
@@ -303,8 +320,6 @@ class ImageDownloader:
         # small state appends coalesce to few files; the images append keeps
         # its natural partitioning (wide binary rows, parallel write)
         n_files = max(1, min(64, n_eligible // 200_000 + 1))
-        self.catalog.table("dl_order").append(order_rows.coalesce(n_files))
-        self.catalog.table("images").append(images)
         updates = (
             ok.select("url")
             .withColumn("new_status", F.lit(STATUS_OK))
@@ -315,13 +330,24 @@ class ImageDownloader:
                 )
             )
         )
-        self._merge_status(updates)
-        self.catalog.table("dl_frontier").replace(
-            deferred.unionByName(retries).coalesce(n_files)
-        )
+        # four independent tables → four concurrent write jobs
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: self.catalog.table("dl_order").append(order_rows.coalesce(n_files)),
+            lambda: self.catalog.table("images").append(images),
+            lambda: self._merge_status(updates),
+            lambda: self.catalog.table("dl_frontier").replace(
+                deferred.unionByName(retries).coalesce(n_files)
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
         self.rank_base += n_eligible
         self._checkpoint(lineage={"round": self.round, "n_eligible": n_eligible})
         with_status.unpersist()
+        epart.unpersist()
         tagged.unpersist()
         return n_eligible
 
@@ -337,19 +363,39 @@ class ImageDownloader:
     # ------------------------------------------------------------ merge
 
     def _merge_status(self, updates: DataFrame) -> None:
-        """J4: MERGE INTO file_meta USING updates ON file_url — parquet
-        backend does read-modify-write + atomic manifest swap."""
-        fm = self.catalog.table("file_meta").read()
-        if fm is None:
+        """J4: MERGE INTO file_meta USING updates ON file_url.
+
+        Bucket-granular copy-on-write: updates hash to their buckets, ONLY
+        those buckets are read back, merged, and rewritten; every untouched
+        bucket's immutable files carry into the new snapshot verbatim
+        (Iceberg MERGE INTO file granularity — upstream `download.py:148-158`
+        batch-UPDATEs by keyid, which a 100 TB-scale engine cannot do as a
+        full-table rewrite)."""
+        tb = self.catalog.table("file_meta")
+        if not tb.exists():
             return
-        upd = F.broadcast(updates.withColumnRenamed("url", "file_url"))
+        n_buckets = tb.props().get("n_buckets", self.cfg.meta_buckets)
+        upd = (
+            updates.withColumnRenamed("url", "file_url")
+            .withColumn("_b", F.pmod(F.xxhash64("file_url"), F.lit(n_buckets)))
+            .persist()
+        )
+        touched = sorted(r["_b"] for r in upd.select("_b").distinct().collect())
+        if not touched:
+            upd.unpersist()
+            return
+        fm = tb.read_buckets(touched)
+        if fm is None:  # updates reference urls the table never contained
+            upd.unpersist()
+            return
         merged = (
-            fm.join(upd, "file_url", "left")
+            fm.join(F.broadcast(upd.drop("_b")), "file_url", "left")
             .withColumn("status", F.coalesce("new_status", "status"))
             .withColumn("file_path", F.coalesce("new_path", "file_path"))
             .drop("new_status", "new_path")
         )
-        self.catalog.table("file_meta").replace(merged.select(*fm.columns))
+        tb.merge_buckets(merged.select(*fm.columns), touched)
+        upd.unpersist()
 
     # ------------------------------------------------------------ outputs
 

@@ -55,6 +55,7 @@ class SimRequest:
     url: str
     method: str = "GET"
     callback: str = "list"
+    body: str = ""  # POST payload; part of the request fingerprint
     meta: dict = field(default_factory=dict)
     attempt: int = 0
 
@@ -102,7 +103,11 @@ def simulate_crawl(
         nonlocal next_seq
         cb = req_dict.get("callback", "list")
         dont_filter = cbs.get(cb, False)
-        fp = fingerprint(req_dict.get("method", "GET"), req_dict["url"])
+        fp = fingerprint(
+            req_dict.get("method", "GET"),
+            req_dict["url"],
+            req_dict.get("body", "") or "",
+        )
         if not dont_filter:
             if fp in seen:
                 return
@@ -114,6 +119,7 @@ def simulate_crawl(
                 url=req_dict["url"],
                 method=req_dict.get("method", "GET"),
                 callback=cb,
+                body=req_dict.get("body", "") or "",
                 meta=dict(req_dict.get("meta") or {}),
                 attempt=attempt,
             )

@@ -96,6 +96,71 @@ class ParquetManifestTable:
         part = self._write_data(df)
         return self._commit([part], props or {})
 
+    # -------------------------------------------------- bucketed snapshots
+    #
+    # Hash-bucketed layout for MERGE-heavy tables (file_meta): each snapshot
+    # entry is one bucket directory 'data-XXX/_b=i', so a merge touching few
+    # buckets rewrites only those and carries every other entry over
+    # unchanged — O(touched buckets), not O(table), per merge (Iceberg
+    # MERGE INTO's copy-on-write file granularity, on the parquet backend).
+
+    @staticmethod
+    def _bucket_of(entry: str) -> int | None:
+        tail = entry.rsplit("/", 1)[-1]
+        return int(tail[len("_b="):]) if tail.startswith("_b=") else None
+
+    def _write_bucketed(self, df, bucket_col: str, n_buckets: int) -> list[str]:
+        from pyspark.sql import functions as F
+
+        part = f"data-{uuid.uuid4().hex}"
+        (
+            df.withColumn("_b", F.pmod(F.xxhash64(bucket_col), F.lit(n_buckets)))
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(os.path.join(self.root, part))
+        )
+        pdir = os.path.join(self.root, part)
+        return sorted(
+            f"{part}/{d}" for d in os.listdir(pdir) if d.startswith("_b=")
+        )
+
+    def replace_bucketed(
+        self, df, bucket_col: str, n_buckets: int, props: dict | None = None
+    ) -> int:
+        entries = self._write_bucketed(df, bucket_col, n_buckets)
+        return self._commit(
+            entries,
+            {**(props or {}), "bucket_col": bucket_col, "n_buckets": n_buckets},
+        )
+
+    def bucket_entries(self, buckets) -> list[str]:
+        want = set(buckets)
+        return [f for f in self._manifest()["files"] if self._bucket_of(f) in want]
+
+    def read_buckets(self, buckets):
+        """Read only the given buckets' files (None if they hold no data)."""
+        entries = self.bucket_entries(buckets)
+        if not entries:
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in entries]
+        )
+
+    def merge_buckets(self, df, touched, props: dict | None = None) -> int:
+        """Commit a snapshot where ``df`` REPLACES the touched buckets'
+        contents; every untouched bucket entry carries over verbatim (same
+        immutable files — the merge cost is O(touched), asserted in tests)."""
+        m = self._manifest()
+        bucket_col, n_buckets = m["props"]["bucket_col"], m["props"]["n_buckets"]
+        touched = set(int(b) for b in touched)
+        new_entries = [
+            e
+            for e in self._write_bucketed(df, bucket_col, n_buckets)
+            if self._bucket_of(e) in touched  # guard: df must stay in-bucket
+        ]
+        keep = [f for f in m["files"] if self._bucket_of(f) not in touched]
+        return self._commit(keep + new_entries, {**m["props"], **(props or {})})
+
     def replace_empty(self, props: dict | None = None) -> int:
         return self._commit([], props or {})
 

@@ -109,3 +109,73 @@ def test_per_host_budget_overrides(spark, workdir):
         callbacks={**DEDUP_CBS, "file": False},
     )
     assert_parity(engine, summary, ref)
+
+
+# ---- POST body fingerprinting (VERDICT "missing" #1) ----------------------
+#
+# A tiny custom spider whose list page emits POST children to ONE url with
+# three bodies (x=1, x=2, x=1 again): body-aware dedup must admit exactly two
+# and the engine must match the simulator bit-for-bit.
+
+_POST_SEED = "http://p.test/page"
+_POST_CHILD = "http://p.test/api"
+
+
+def _post_parse(url, body):
+    if url == _POST_SEED:
+        children = [
+            {"url": _POST_CHILD, "method": "POST", "callback": "detail", "body": b}
+            for b in ("x=1", "x=2", "x=1")
+        ]
+        return [], children
+    return [("post_items", {"echo": url})], []
+
+
+def _post_corpus_rows():
+    pad = " " * 80
+    return [
+        {"url": u, "host": "p.test", "kind": "list", "http_status": 200,
+         "body": "{}" + pad, "body_size": 82, "out_links": []}
+        for u in (_POST_SEED, _POST_CHILD)
+    ]
+
+
+def test_post_body_dedup_parity(spark, workdir):
+    from spiderman_spark.functions.urltools import fingerprint
+    from spiderman_spark.spiderspec import SpiderSpec
+
+    # distinct bodies -> distinct fingerprints; same body -> same
+    assert fingerprint("POST", _POST_CHILD, "x=1") != fingerprint("POST", _POST_CHILD, "x=2")
+    assert fingerprint("POST", _POST_CHILD, "x=1") == fingerprint("POST", _POST_CHILD, "x=1")
+    assert fingerprint("GET", _POST_CHILD) == fingerprint("GET", _POST_CHILD, "")
+
+    spec = SpiderSpec(
+        name="post_demo",
+        item_tables={"post_items": "echo string"},
+        callbacks={"list": True, "detail": False},
+        parse=_post_parse,
+        page_callbacks=("list", "detail"),
+    )
+    corpus_df = spark.createDataFrame(
+        _post_corpus_rows(), cg.CRAWL_CORPUS_DDL
+    )
+    engine = CrawlEngine(
+        spark, corpus_df, workdir,
+        CrawlConfig(callbacks=dict(spec.callbacks), default_budget=8),
+        spec=spec,
+    )
+    seeds = [{"url": _POST_SEED, "callback": "list"}]
+    engine.seed(seeds)
+    summary = engine.run()
+    ref = sim.simulate_crawl(
+        {r["url"]: r for r in _post_corpus_rows()},
+        seeds,
+        politeness=sim.Politeness(max_per_round=8),
+        callbacks={**spec.callbacks, "file": False},
+        parse_fn=_post_parse,
+    )
+    assert_parity(engine, summary, ref)
+    # exactly two POSTs fetched (x=1 deduped on its second emission)
+    order = engine.crawl_order().orderBy("rank").collect()
+    assert [r["url"] for r in order] == [_POST_SEED, _POST_CHILD, _POST_CHILD]
+    assert len(ref.url_seen) == 2

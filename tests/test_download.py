@@ -173,3 +173,45 @@ def test_download_resume_mid_run(spark, workdir, crawled):
         (r["file_url"], r["status"]) for r in ref_dl.file_meta().collect()
     )
     assert got_fm == want_fm
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, workdir, crawled):
+    """VERDICT fix: the per-round status MERGE must be O(touched buckets),
+    not a full-table rewrite — untouched buckets' immutable files carry into
+    the new snapshot verbatim (same paths, same bytes)."""
+    import hashlib
+    import os
+
+    dl = make_downloader(spark, workdir, budget=2)
+    dl.make_job(crawled.items("zhifang_file"))
+    tb = dl.catalog.table("file_meta")
+
+    def snapshot_entries():
+        m = tb._manifest()
+        out = {}
+        for e in m["files"]:
+            b = tb._bucket_of(e)
+            d = os.path.join(tb.root, e)
+            digest = hashlib.md5()
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(d, fn), "rb") as fh:
+                        digest.update(fn.encode())
+                        digest.update(fh.read())
+            out[b] = (e, digest.hexdigest())
+        return out
+
+    before = snapshot_entries()
+    assert before and all(b is not None for b in before)  # bucketed layout
+    dl.step()  # one round: merges a small batch of status updates
+    after = snapshot_entries()
+    untouched = [b for b in after if b in before and after[b][0] == before[b][0]]
+    changed = [b for b in after if b not in untouched]
+    # a budget-2 round touches far fewer buckets than the table has
+    assert changed and len(changed) < len(before)
+    # carried-over entries are the same immutable files, byte for byte
+    for b in untouched:
+        assert after[b][1] == before[b][1]
+    assert len(untouched) > 0
+    # and the merged table still reads back with every row accounted for
+    assert dl.file_meta().count() == crawled.items("zhifang_file").count()

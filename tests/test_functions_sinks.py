@@ -147,3 +147,23 @@ def test_sink_discipline_and_shapes(spark, workdir):
     n_cols = sum(len(ddl.split(",")) for ddl in ITEM_TABLES.values())
     assert meta.count() == n_cols
     assert meta.where("tb = 'zhifang_file' AND col = 'file_url'").collect()[0]["px"] == 1
+
+
+def test_rowkey_null_position_distinct(spark):
+    """ADVICE fix: concat_ws drops NULLs, so ('a', NULL, 'b') and
+    ('a', 'b', NULL) must NOT collide — NULLs coalesce to a sentinel."""
+    from pyspark.sql import functions as F
+
+    from spiderman_spark.functions.scalars import rowkey
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None), ("a", "b", "")],
+        "x string, y string, z string",
+    )
+    keys = [
+        r["k"]
+        for r in df.select(
+            rowkey("20240101", F.col("x"), F.col("y"), F.col("z")).alias("k")
+        ).collect()
+    ]
+    assert len(set(keys)) == 3

@@ -89,3 +89,27 @@ def test_embedding_neardup_exact_and_lsh_recall(spark):
     assert lsh_pairs <= exact_pairs
     recall = len(lsh_pairs & want) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_resize_upscale_no_nan(spark, images):
+    """ADVICE fix: upscaling must map every output cell to a source (the old
+    source->bin scatter left empty bins -> 0/0 NaN cast to uint8)."""
+    import numpy as np
+
+    from spiderman_spark import imagecodec as ic
+
+    out = mm.resize_images(images, 48, 48).collect()
+    assert len(out) > 0
+    for r in out:
+        px = ic.decode(bytes(r["bytes"]), "rgb8")
+        assert px.shape == (48, 48, 3)
+        assert np.isfinite(px.astype(np.float64)).all()
+    # driver-side invariants: up equals nearest gather, mixed axes work
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 256, size=(5, 9, 3)).astype(np.uint8)
+    up = mm._block_mean_resize(src, 20, 11)
+    yi = (np.arange(11) * 5) // 11
+    xi = (np.arange(20) * 9) // 20
+    assert np.array_equal(up, src[yi][:, xi])
+    mixed = mm._block_mean_resize(src, 4, 13)  # up in h, down in w
+    assert mixed.shape == (13, 4, 3)

@@ -72,3 +72,35 @@ def test_patch_rederives_missing_work(spark, workdir):
     assert sorted(map(tuple, rec.select(*cols).collect())) == sorted(
         map(tuple, orig.select(*cols).collect())
     )
+
+
+def test_patch_same_workdir_preserves_state(spark, workdir):
+    """ADVICE fix: seeding patch work into the SAME workdir must not destroy
+    the previously crawled items/url_seen (frontier-only reseed)."""
+    engine = crawl(spark, workdir, sim.make_seeds(SPEC))
+    n_list = engine.items("zhifang_list").count()
+    n_detail = engine.items("zhifang_detail").count()
+    seen_before = {r["fp"] for r in engine.url_seen().collect()}
+    rounds_before = engine.round
+    assert n_list > 0 and n_detail > 0 and seen_before
+
+    # patch-crawl two list pages into the same workdir
+    seeds = [
+        {"url": cg.list_url(SPEC, p), "callback": "list", "meta": {"pagenum": str(p)}}
+        for p in (2, 4)
+    ]
+    engine.seed(seeds, preserve_state=True)
+    engine.run()
+
+    # prior state survived; the patch appended on top of it
+    assert engine.items("zhifang_list").count() > n_list
+    assert engine.items("zhifang_detail").count() >= n_detail
+    assert engine.round > rounds_before
+    # gated children of the re-crawled pages dedup against the preserved
+    # url_seen (reference patch-job behavior — the Redis dupefilter is not
+    # cleared, `SP_JOBS/zhifang_job_patch.py`): the full crawl already admitted
+    # every detail, so the patch admits NO new fingerprints and re-fetches no
+    # detail page
+    assert {r["fp"] for r in engine.url_seen().collect()} == seen_before
+    patch_rows = [r for r in engine.crawl_order().collect() if r["round"] > rounds_before]
+    assert patch_rows and all("/detail/" not in r["url"] for r in patch_rows)
