@@ -122,14 +122,41 @@ def cookies_to_map(col: Column) -> Column:
     return F.str_to_map(F.trim(col), F.lit("; "), F.lit("="))
 
 
+def aes_encrypt_coded(
+    col: Column, key: str, mode: str = "ECB", coding: str = "base64", iv: str = ""
+) -> Column:
+    """F12 full surface (`SP/utils/aes.py:26-77`): MODE_ECB | MODE_CBC with a
+    caller-supplied IV, PKCS padding ('PKCS5Padding' there), base64 or
+    (lowercase) hex coding.  The reference ships the IV out-of-band while
+    Spark's CBC output prepends it — stripped here so ciphertexts interop.
+    Our base64 is single-line RFC 4648 (the reference's ``encodebytes``
+    wraps at 76 chars for long payloads)."""
+    ct = F.aes_encrypt(
+        col.cast("binary"), F.lit(key), F.lit(mode), F.lit("PKCS"),
+        F.lit(iv.encode() if iv else b""),
+    )
+    if mode == "CBC":
+        ct = F.substring(ct, 17, 2**31 - 1)  # drop Spark's prepended IV
+    return F.base64(ct) if coding == "base64" else F.lower(F.hex(ct))
+
+
+def aes_decrypt_coded(
+    col: Column, key: str, mode: str = "ECB", coding: str = "base64", iv: str = ""
+) -> Column:
+    raw = F.unbase64(col) if coding == "base64" else F.unhex(col)
+    if mode == "CBC":
+        raw = F.concat(F.lit(iv.encode()), raw)  # re-prepend the shared IV
+    return F.aes_decrypt(raw, F.lit(key), F.lit(mode), F.lit("PKCS")).cast("string")
+
+
 def aes_encrypt_b64(col: Column, key: str) -> Column:
     """F12: AES-ECB + PKCS padding + base64, as `SP/utils/aes.py:15-43`
     (Spark >=3.3 builtin; key must be 16/24/32 bytes)."""
-    return F.base64(F.aes_encrypt(col.cast("binary"), F.lit(key), F.lit("ECB"), F.lit("PKCS")))
+    return aes_encrypt_coded(col, key)
 
 
 def aes_decrypt_b64(col: Column, key: str) -> Column:
-    return F.aes_decrypt(F.unbase64(col), F.lit(key), F.lit("ECB"), F.lit("PKCS")).cast("string")
+    return aes_decrypt_coded(col, key)
 
 
 def sanitize_filename(col: Column) -> Column:

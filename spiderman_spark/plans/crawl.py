@@ -112,6 +112,7 @@ class CrawlEngine:
         config: CrawlConfig | None = None,
         budgets: DataFrame | None = None,
         spec: SpiderSpec | None = None,
+        robots_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.spec = spec or ZHIFANG
@@ -119,6 +120,10 @@ class CrawlEngine:
         self.corpus = corpus.select("url", "http_status", "body", "body_size")
         self.catalog = Catalog(spark, workdir)
         self.budgets = budgets
+        # T4 robots opt-in (reference default OFF, `SP/settings.py:118-119`):
+        # small (host, disallow_prefix) rules table, broadcast into child
+        # admission; blocked children are recorded as failed('robots')
+        self.robots_rules = robots_rules
         self.round = 0
         self.next_seq = 0
         self.rank_base = 0
@@ -308,6 +313,30 @@ class CrawlEngine:
         reqs = requests_of(parsed).withColumn(
             "host", F.substring_index(F.substring_index("url", "://", -1), "/", 1)
         )
+        if self.robots_rules is not None:
+            rules = F.broadcast(
+                self.robots_rules.groupBy("host").agg(
+                    F.collect_list("disallow_prefix").alias("_dis")
+                )
+            )
+            path = F.regexp_replace(
+                F.col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""
+            )
+            flagged = reqs.join(rules, "host", "left").withColumn(
+                "_blocked",
+                F.coalesce(
+                    F.exists("_dis", lambda d: path.startswith(d)), F.lit(False)
+                ),
+            )
+            failed = failed.unionByName(
+                flagged.where("_blocked").select(
+                    "url",
+                    F.lit("robots").alias("reason"),
+                    F.lit(0).alias("attempt"),
+                    F.lit(self.round).alias("round"),
+                )
+            )
+            reqs = flagged.where("NOT _blocked").drop("_blocked", "_dis")
         from ..functions.urltools import register_udfs
 
         udfs = register_udfs()

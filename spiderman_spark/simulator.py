@@ -75,6 +75,12 @@ class SimResult:
 # stage (spiderman_spark.parselib.parse_body) — shared by construction.
 
 
+def _path_of(url: str) -> str:
+    rest = url.split("://", 1)[-1] if "://" in url else url
+    i = rest.find("/")
+    return rest[i:] if i >= 0 else ""
+
+
 def simulate_crawl(
     corpus: dict,
     seeds: list[dict],
@@ -82,6 +88,7 @@ def simulate_crawl(
     callbacks: dict | None = None,
     parse_fn=None,
     page_callbacks: tuple = ("list", "detail"),
+    robots_rules: dict | None = None,
 ) -> SimResult:
     """Run the scrapy-redis deterministic skeleton to frontier exhaustion.
 
@@ -171,6 +178,15 @@ def simulate_crawl(
                 for tb, it in new_items:
                     items.setdefault(tb, []).append(it)
                 for child in children:
+                    if robots_rules is not None:
+                        host = host_of(child["url"])
+                        pathc = _path_of(child["url"])
+                        if any(
+                            pathc.startswith(p)
+                            for p in robots_rules.get(host, [])
+                        ):
+                            failed.append((child["url"], "robots"))
+                            continue
                     admit(child)
             else:  # 'file' downloader phase: no children, success recorded
                 items.setdefault("_downloaded", []).append(

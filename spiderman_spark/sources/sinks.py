@@ -134,16 +134,113 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **prop
     df.write.mode(mode).jdbc(url, table, properties={str(k): str(v) for k, v in props.items()})
 
 
+# ---------------------------------------------------- connector frame seams
+#
+# S8/S9/S10/S13: the reference's HBase/MongoDB/Elasticsearch/Doris pipelines
+# all share the same discipline — per-item dict shaping + audit columns +
+# batch write with row fallback.  The *frame shaping* is engine logic and
+# lives here, fully tested; the transport (happybase/pymongo/es helpers/
+# streamload HTTP) needs a live service and stays a thin call the caller
+# wires on a real cluster (same gating as write_kafka/write_jdbc).
+
+def hbase_frame(df: DataFrame, bizdate: str, ctime: str, spider: str) -> DataFrame:
+    """S8 (`pipelines_hbase.py:85-118`): (keyid, cells map<'cf:<col>',str>);
+    values stringified exactly as there (``str(value)`` → missing = 'None'),
+    audit cells cf:bizdate/cf:ctime/cf:spider appended.  Feed rows to
+    happybase ``batch.put(keyid, cells)`` on a live cluster."""
+    keyed = df.withColumn("keyid", rowkey(bizdate, *[F.col(c) for c in df.columns]))
+    cells = []
+    for c in df.columns:
+        cells += [F.lit(f"cf:{c}"), F.coalesce(F.col(c).cast("string"), F.lit("None"))]
+    cells += [
+        F.lit("cf:bizdate"), F.lit(bizdate),
+        F.lit("cf:ctime"), F.lit(ctime),
+        F.lit("cf:spider"), F.lit(spider),
+    ]
+    return keyed.select("keyid", F.create_map(*cells).alias("cells"))
+
+
+def mongo_frame(df: DataFrame, bizdate: str, ctime: str, spider: str) -> DataFrame:
+    """S9 (`pipelines_mongodb.py:65-96`): document per row with ``_id`` =
+    keyid + audit fields; feed to ``collection.insert_many``."""
+    keyed = df.withColumn("_id", rowkey(bizdate, *[F.col(c) for c in df.columns]))
+    return keyed.select(
+        "_id", *df.columns,
+        F.lit(bizdate).alias("bizdate"),
+        F.lit(ctime).alias("ctime"),
+        F.lit(spider).alias("spider"),
+    )
+
+
+def es_frame(df: DataFrame, tablename: str, bizdate: str, ctime: str, spider: str) -> DataFrame:
+    """S10 (`pipelines_elasticsearch.py:60-84`): bulk-index action per row —
+    (_op_type='index', _index=tablename, _id=keyid, _source JSON with audit
+    fields); feed to ``elasticsearch.helpers.bulk``."""
+    keyed = df.withColumn("_id", rowkey(bizdate, *[F.col(c) for c in df.columns]))
+    source = F.to_json(
+        F.struct(
+            *df.columns,
+            F.lit(bizdate).alias("bizdate"),
+            F.lit(ctime).alias("ctime"),
+            F.lit(spider).alias("spider"),
+        )
+    )
+    return keyed.select(
+        F.lit("index").alias("_op_type"),
+        F.lit(tablename).alias("_index"),
+        "_id",
+        source.alias("_source"),
+    )
+
+
+def doris_frame(df: DataFrame, bizdate: str, ctime: str, spider: str) -> DataFrame:
+    """S13 (`pipelines_doris.py:80-105`): stream-load row — keyid first, every
+    value stringified (``str(value)`` → missing = 'None'), audit columns last;
+    serialize with ``to_json(struct('*'))`` per row for the HTTP stream load."""
+    keyed = df.withColumn("keyid", rowkey(bizdate, *[F.col(c) for c in df.columns]))
+    vals = [
+        F.coalesce(F.col(c).cast("string"), F.lit("None")).alias(c)
+        for c in df.columns
+    ]
+    return keyed.select(
+        "keyid", *vals,
+        F.lit(bizdate).alias("bizdate"),
+        F.lit(ctime).alias("ctime"),
+        F.lit(spider).alias("spider"),
+    )
+
+
 # ------------------------------------------------------------------ meta
 
-def refresh_meta(spark, spider: str, item_tables: dict[str, str], author: str = "way"):
-    """S17 metadata catalog (`easy_meta.py:37-105`): one row per column of
-    every item table — (spider, tb, col, comments, px, author, times)."""
+def refresh_meta(spark, spec, insertime: str | None = None):
+    """S17 metadata catalog with full `easy_meta.py:37-105` parity: one row
+    per column of every item table, schema (spider, spider_comment, tb,
+    tb_comment, col_px, col, col_comment, author, addtime, insertime).
+
+    Column order per table mirrors the reference's idx sort with the audit
+    frame around it: keyid (idx -99) first, declared columns in DDL order,
+    then bizdate (1001) / ctime (1002) / spider (1003); comments come from
+    ``spec.comments`` (the Field dicts there), audit comments are the
+    reference's fixed strings."""
+    insertime = insertime or time.strftime("%Y-%m-%d %H:%M:%S")
     rows = []
-    for tb, ddl in item_tables.items():
-        for px, field in enumerate(ddl.split(","), start=1):
+    for tb, ddl in spec.item_tables.items():
+        cols = [("keyid", "唯一标识")]
+        tb_comments = spec.comments.get(tb, {})
+        for field in ddl.split(","):
             name = field.strip().split(" ", 1)[0]
-            rows.append((spider, tb, name, name, px, author, time.strftime("%Y-%m-%d")))
+            cols.append((name, tb_comments.get(name, "")))
+        cols += [("bizdate", "业务日期"), ("ctime", "入库时间"), ("spider", "爬虫名称")]
+        for px, (name, comment) in enumerate(cols, start=1):
+            rows.append(
+                (
+                    spec.name, spec.describe, tb, spec.table_desc.get(tb, ""),
+                    px, name, comment, spec.author, spec.addtime, insertime,
+                )
+            )
     return spark.createDataFrame(
-        rows, "spider string, tb string, col string, comments string, px int, author string, times string"
+        rows,
+        "spider string, spider_comment string, tb string, tb_comment string,"
+        " col_px int, col string, col_comment string, author string,"
+        " addtime string, insertime string",
     )

@@ -39,6 +39,15 @@ class SpiderSpec:
     # callbacks whose fetched pages run the parse stage (others, e.g. 'file',
     # are payload fetches handled by the downloader)
     page_callbacks: tuple = ("list", "detail")
+    # metadata-catalog surface (S17): what the reference introspects from the
+    # spider docstring + Item field dicts (`easy_meta.py:37-76`) is declared
+    # here — per-table descriptions, per-column comments, and the spider's
+    # @Describe/@Author/@Time header lines
+    table_desc: dict = field(default_factory=dict)  # tablename -> description
+    comments: dict = field(default_factory=dict)  # tablename -> {col: comment}
+    describe: str = ""
+    author: str = ""
+    addtime: str = ""
 
 
 ZHIFANG = SpiderSpec(
@@ -47,4 +56,29 @@ ZHIFANG = SpiderSpec(
     callbacks={"list": True, "detail": True},
     parse=parselib.parse_body,
     page_callbacks=parselib.PAGE_CALLBACKS,
+    # reference comments: `SP/items/zhifang_items.py:10-49`, `SP/items/items.py:17-27`
+    table_desc={
+        "zhifang_list": "列表",
+        "zhifang_detail": "详情",
+        "zhifang_file": "附件",
+    },
+    comments={
+        "zhifang_list": {
+            "title": "房屋标题", "desc": "房屋描述", "location": "房屋地址楼层",
+            "price": "房屋价格", "detail_full_url": "详情链接",
+            "pkey": "md5(detail_full_url)", "pagenum": "页码",
+        },
+        "zhifang_detail": {
+            "type1": "户型楼层", "type2": "朝向类型", "type3": "面积结构",
+            "plot_name": "小区名称", "area": "所在区域", "look_time": "看房时间",
+            "source_id": "房源标号", "fkey": "等于list.pkey",
+        },
+        "zhifang_file": {
+            "file_url": "附件链接", "file_type": "附件类型", "file_name": "附件名称",
+            "status": "下载状态", "file_path": "文件存储路径", "fkey": "外键",
+        },
+    },
+    describe="zhifang demo spider",
+    author="way",
+    addtime="2020-05-09 15:31",
 )

@@ -179,3 +179,36 @@ def test_post_body_dedup_parity(spark, workdir):
     order = engine.crawl_order().orderBy("rank").collect()
     assert [r["url"] for r in order] == [_POST_SEED, _POST_CHILD, _POST_CHILD]
     assert len(ref.url_seen) == 2
+
+
+def test_robots_optin_parity(spark, workdir):
+    """T4: with broadcast robots rules enabled, disallowed children are
+    dropped as failed('robots') identically in engine and simulator (the
+    reference default is OFF — both engines default to no rules)."""
+    spec = cg.UNIT
+    rules = {"h0.example.test": ["/detail/"], "h1.example.test": ["/img/"]}
+    rules_df = spark.createDataFrame(
+        [(h, p) for h, ps in rules.items() for p in ps],
+        "host string, disallow_prefix string",
+    )
+    corpus_df = cg.build_crawl_corpus(spark, spec)
+    engine = CrawlEngine(
+        spark, corpus_df, workdir,
+        CrawlConfig(callbacks=dict(DEDUP_CBS), default_budget=4),
+        robots_rules=rules_df,
+    )
+    seeds = sim.make_seeds(spec)
+    engine.seed(seeds)
+    summary = engine.run()
+    ref = sim.simulate_crawl(
+        sim.corpus_as_dict(spec), seeds,
+        politeness=sim.Politeness(max_per_round=4),
+        callbacks={**DEDUP_CBS, "file": False},
+        robots_rules=rules,
+    )
+    assert_parity(engine, summary, ref)
+    blocked = engine.failed().where("reason = 'robots'")
+    assert blocked.count() > 0
+    assert all(
+        "/detail/" in r["url"] or "/img/" in r["url"] for r in blocked.collect()
+    )

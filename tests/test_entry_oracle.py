@@ -71,3 +71,18 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_fixture_files_current(tmp_path):
+    """The committed q27/q28 oracle fixtures must equal a fresh
+    simulator-derived regeneration (guards fixture drift)."""
+    import pandas as pd
+
+    from . import make_fixtures
+
+    got = make_fixtures.write_all(str(tmp_path))
+    assert got == {"q27_crawl_order.parquet": 31, "q28_images.parquet": 36}
+    for name in got:
+        fresh = pd.read_parquet(os.path.join(str(tmp_path), name))
+        committed = pd.read_parquet(os.path.join(make_fixtures.FIXDIR, name))
+        pd.testing.assert_frame_equal(fresh, committed)

@@ -142,11 +142,8 @@ def test_sink_discipline_and_shapes(spark, workdir):
     kr = kf.collect()[0]
     assert kr["key"] == "zhifang_list" and '"ctime":"2024-01-01 00:00:00"' in kr["value"]
 
-    # S17 meta rows: one per column, px ordered
-    meta = sinks.refresh_meta(spark, "zhifang", ITEM_TABLES)
-    n_cols = sum(len(ddl.split(",")) for ddl in ITEM_TABLES.values())
-    assert meta.count() == n_cols
-    assert meta.where("tb = 'zhifang_file' AND col = 'file_url'").collect()[0]["px"] == 1
+    # S17 meta rows: one per (column + audit frame), col_px ordered — full
+    # easy_meta parity is asserted in test_refresh_meta_matches_easy_meta
 
 
 def test_rowkey_null_position_distinct(spark):
@@ -167,3 +164,110 @@ def test_rowkey_null_position_distinct(spark):
         ).collect()
     ]
     assert len(set(keys)) == 3
+
+
+def test_refresh_meta_matches_easy_meta(spark):
+    """S17 full parity (`easy_meta.py:37-105`): keyid first (idx -99), DDL
+    columns with their Field-dict comments, audit columns 1001-1003 last,
+    col_px enumerated over the sorted frame."""
+    from spiderman_spark.spiderspec import ZHIFANG
+
+    meta = sinks.refresh_meta(spark, ZHIFANG, insertime="2024-01-01 00:00:00")
+    assert meta.columns == [
+        "spider", "spider_comment", "tb", "tb_comment", "col_px", "col",
+        "col_comment", "author", "addtime", "insertime",
+    ]
+    lst = [
+        (r["col_px"], r["col"], r["col_comment"], r["tb_comment"])
+        for r in meta.where("tb = 'zhifang_list'").orderBy("col_px").collect()
+    ]
+    want = [
+        (1, "keyid", "唯一标识", "列表"),
+        (2, "title", "房屋标题", "列表"),
+        (3, "desc", "房屋描述", "列表"),
+        (4, "location", "房屋地址楼层", "列表"),
+        (5, "price", "房屋价格", "列表"),
+        (6, "detail_full_url", "详情链接", "列表"),
+        (7, "pkey", "md5(detail_full_url)", "列表"),
+        (8, "pagenum", "页码", "列表"),
+        (9, "bizdate", "业务日期", "列表"),
+        (10, "ctime", "入库时间", "列表"),
+        (11, "spider", "爬虫名称", "列表"),
+    ]
+    assert lst == want
+    assert meta.where("spider_comment = 'zhifang demo spider'").count() == meta.count()
+    n_expected = sum(len(d.split(",")) + 4 for d in ZHIFANG.item_tables.values())
+    assert meta.count() == n_expected
+
+
+def test_aes_modes_roundtrip_and_reference_demo(spark):
+    """F12 full surface: ECB/CBC x base64/hex round-trips, and the CBC demo
+    ciphertext documented in the reference (`SP/utils/aes.py:79-96`) decrypts
+    to its JSON img-url payload with the same key/iv."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spiderman_spark.functions import scalars as S
+
+    df = spark.createDataFrame([("hello 世界 0123456789",)], "t string")
+    for mode, iv in (("ECB", ""), ("CBC", "ABCDEF1G34123412")):
+        for coding in ("base64", "hex"):
+            rt = df.select(
+                S.aes_decrypt_coded(
+                    S.aes_encrypt_coded(F.col("t"), "123456781234567G", mode, coding, iv),
+                    "123456781234567G", mode, coding, iv,
+                ).alias("rt")
+            ).collect()[0]["rt"]
+            assert rt == "hello 世界 0123456789", (mode, coding)
+
+    demo_path = "/root/reference/SP/utils/aes.py"
+    import re
+
+    src = open(demo_path, encoding="utf-8").read()
+    ct = re.search(r'cipher_text = "([A-Za-z0-9+/=]+)"', src).group(1)
+    out = (
+        spark.createDataFrame([(ct,)], "ct string")
+        .select(
+            S.aes_decrypt_coded(
+                F.col("ct"), "123456781234567G", "CBC", "base64", "ABCDEF1G34123412"
+            ).alias("pt")
+        )
+        .collect()[0]["pt"]
+    )
+    urls = json.loads(out)
+    assert isinstance(urls, list) and urls and all(u.endswith(".jpg") for u in urls)
+
+
+def test_connector_frame_seams(spark):
+    """S8/S9/S10/S13 frame shapes mirror the reference pipelines' per-item
+    dicts (cells/doc/bulk-action/stream-load row), audit fields included,
+    missing values stringified to 'None' exactly as `str(None)` there."""
+    import json
+
+    df = spark.createDataFrame(
+        [("t1", None), ("t2", "v2")], "title string, extra string"
+    )
+    bz, ct, sp = "20240101", "2024-01-01 00:00:00", "zhifang"
+
+    hb = sinks.hbase_frame(df, bz, ct, sp).collect()
+    assert {r["keyid"] for r in hb} == {
+        r["keyid"] for r in sinks.hbase_frame(df, bz, ct, sp).collect()
+    }  # deterministic
+    cells = dict(hb[0]["cells"])
+    assert cells["cf:title"] == "t1" and cells["cf:extra"] == "None"
+    assert cells["cf:bizdate"] == bz and cells["cf:spider"] == sp
+
+    mg = sinks.mongo_frame(df, bz, ct, sp)
+    assert mg.columns == ["_id", "title", "extra", "bizdate", "ctime", "spider"]
+    assert mg.where("_id IS NULL").count() == 0
+
+    es = sinks.es_frame(df, "zhifang_list", bz, ct, sp).collect()
+    assert all(r["_op_type"] == "index" and r["_index"] == "zhifang_list" for r in es)
+    src = json.loads(es[1]["_source"])
+    assert src["title"] == "t2" and src["bizdate"] == bz and src["spider"] == sp
+
+    dr = sinks.doris_frame(df, bz, ct, sp)
+    assert dr.columns == ["keyid", "title", "extra", "bizdate", "ctime", "spider"]
+    row = dr.where("title = 't1'").collect()[0]
+    assert row["extra"] == "None" and row["keyid"].startswith("20240101_")
