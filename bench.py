@@ -4,10 +4,13 @@ Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and print
 ONE JSON line ``{"metric", "value", "unit": "sec", "queries", "sf", ...}``.
 
-``--scaling`` mode: evidence the north rule's N→4N-executor criterion in the
-sandbox (no real cluster): run the same crawl job on the same pre-generated
-corpus at local[8] and local[32], report pages/sec at both plus
-``scaling_efficiency = (T8/T32)/4`` into BENCH/BASELINE.md.
+``--scaling`` mode (PRIMARY criterion evidence, matching BENCH/BASELINE.md):
+the crawl frontier loop on the BENCH_XL corpus at local[8] (N cores) vs
+local[32] (4N cores), same input + politeness budget, state/shuffle on tmpfs;
+writes pages/sec at both + scaling_efficiency into BENCH/BASELINE.md next to
+the cross-protocol measurement study.  ``--scaling-full`` adds the
+executor-process protocols (CrawlFleet 1x8 vs 4x8 JVMs, image pipeline 1x8
+vs 4x8 JVMs).
 """
 
 from __future__ import annotations
@@ -89,6 +92,7 @@ def _spec_key(spec) -> str:
     return (
         f"{spec.seed}-{spec.list_pages}-{spec.details_per_page}"
         f"-{spec.images_per_detail}-{spec.hosts}-{spec.img_lo}-{spec.img_hi}"
+        f"-{spec.body_pad}-{int(spec.mega_host)}"
     )
 
 
@@ -243,7 +247,7 @@ spark.stop()
 """
 
 
-def run_download_executors(n_procs: int, cores_per_proc: int) -> dict:
+def run_download_executors(n_procs: int, cores_per_proc: int, pin_cpus: bool = False) -> dict:
     """Emulate an N-executor cluster with N separate 8-core JVM processes
     over a hash-partitioned frontier — how a real cluster scales out (more
     executor JVMs), vs local-mode thread scaling which shares one JVM heap/
@@ -268,8 +272,10 @@ def run_download_executors(n_procs: int, cores_per_proc: int) -> dict:
     t0 = time.perf_counter()
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", script, str(i), str(n_procs),
-             str(cores_per_proc), shard_base],
+            ((["taskset", "-c",
+               f"{i * cores_per_proc}-{(i + 1) * cores_per_proc - 1}"]) if pin_cpus else [])
+            + [sys.executable, "-c", script, str(i), str(n_procs),
+               str(cores_per_proc), shard_base],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
         )
         for i in range(n_procs)
@@ -289,145 +295,271 @@ def run_download_executors(n_procs: int, cores_per_proc: int) -> dict:
     }
 
 
-def bench_scaling() -> dict:
-    """N=local[8] vs 4N=local[32], identical inputs + politeness budget.
+def _scratch_base() -> str:
+    """Scratch filesystem for engine state + shuffle during scaling runs.
 
-    Two jobs:
-    - page crawl (cg.BENCH): round-synchronous frontier loop — reported for
-      transparency; in local mode its per-round driver barrier is a fixed
-      cost a real cluster pays once per micro-batch regardless of width, so
-      it under-measures scaling.
-    - image fetch+decode+verify (cg.BENCH_IMG, production-sized images):
-      the per-round work that actually dominates at 10^10-frontier scale —
-      the scaling-efficiency criterion is evidenced on this job.
+    This sandbox's single shared disk writes INCOMPRESSIBLE data at ~6 MB/s
+    (measured: 256 MB random bytes buffered-write in 41.6 s vs 0.19 s for
+    zeros — the hypervisor compresses), so any write-bearing job serializes
+    on it machine-wide and no protocol can show compute scaling.  A real
+    cluster's disk bandwidth is per-node and scales with executors; tmpfs
+    state emulates that at cluster parity.  Falls back to the default tmp
+    when /dev/shm is absent."""
+    base = "/dev/shm/spfrontier" if os.path.isdir("/dev/shm") else None
+    if base:
+        os.makedirs(os.path.join(base, "tmp"), exist_ok=True)
+        return base
+    return tempfile.gettempdir()
+
+
+def bench_scaling(full: bool = False) -> dict:
+    """North-rule N→4N evidence protocols (no real cluster in the sandbox).
+
+    PRIMARY (always run): the crawl frontier loop on the BENCH_XL corpus
+    (5.05M URLs, 1024 uniform hosts, ~1.1M pages over 5 BFS rounds) at
+    local[8] (N cores) vs local[32] (4N cores), same seeds/budget, engine
+    state + shuffle on tmpfs (see _scratch_base).  This is the same-job,
+    two-parallelism-levels measurement the driver asks for; BENCH/BASELINE.md
+    records the result next to the full cross-protocol measurement study
+    (thread scaling, executor-process fleet, CPU pinning, payload pipeline)
+    and the phase-level Amdahl decomposition.
+
+    ``full=True`` additionally re-runs the executor-process protocols
+    (CrawlFleet 1x8 vs 4x8 worker JVMs; image pipeline 1x8 vs 4x8 shard
+    JVMs) — ~25 extra minutes.
     """
     from spiderman_spark import corpusgen as cg
     from spiderman_spark import simulator as sim
 
-    crawl_spec = cg.BENCH
-    seeds = sim.make_seeds(crawl_spec)
-    out = {"crawl": {}, "image": {}}
-    # crawl leg: same-process back-to-back (stable measurement)
+    base = _scratch_base()
+    scratch = os.path.join(base, "tmp")
+    os.environ.setdefault("SPARK_LOCAL_DIRS", scratch)
+    tempfile.tempdir = scratch
+
+    spec = cg.BENCH_XL
+    seeds = sim.make_seeds(spec)
+    out = {"crawl_xl": {}}
     for cores, tag in ((8, "N"), (32, "4N")):
-        spark = make_session(cores, f"bench-scaling-{cores}")
+        spark = make_session(cores, f"scaling-{cores}")
         spark.sparkContext.setLogLevel("ERROR")
-        crawl_path = ensure_bench_corpus(spark, crawl_spec)
-        out["crawl"][tag] = run_crawl(spark, crawl_path, seeds, budget=4096)
-        out["crawl"][tag]["cores"] = cores
+        path = ensure_bench_corpus(spark, spec)
+        out["crawl_xl"][tag] = run_crawl(spark, path, seeds, budget=10**6)
+        out["crawl_xl"][tag]["cores"] = cores
         spark.stop()
-    # image leg: executor-process emulation, adjacent runs to minimize
-    # sandbox throughput drift (measured up to ~5x between far-apart runs)
-    for n_procs, tag in ((1, "N"), (4, "4N")):
-        r = run_download_executors(n_procs, 8)
-        r.pop("shards", None)
-        out["image"][tag] = r
-    crawl_eff = (
-        out["crawl"]["4N"]["pages_per_sec"] / out["crawl"]["N"]["pages_per_sec"]
+    eff = (
+        out["crawl_xl"]["4N"]["pages_per_sec"]
+        / out["crawl_xl"]["N"]["pages_per_sec"]
     ) / 4
-    img_eff = (
-        out["image"]["4N"]["images_per_sec"] / out["image"]["N"]["images_per_sec"]
-    ) / 4
-    out["crawl_scaling_efficiency"] = round(crawl_eff, 3)
-    out["image_scaling_efficiency"] = round(img_eff, 3)
-    md = [
-        "# BENCH — throughput + N→4N scaling evidence",
-        "",
-        "Sandbox protocol (no real cluster): same job, same pre-generated",
-        "input, same politeness budget, at local[8] (N) and local[32] (4N).",
-        "scaling_efficiency = (throughput_4N / throughput_N) / 4; target",
-        ">= 0.8 per BASELINE.json.",
-        "",
-        "## Job 1 — page-crawl frontier loop (the north-rule metric:",
-        "frontier-pages fetched/sec)",
-        "",
-        f"Corpus: {crawl_spec.total_urls} URLs, {crawl_spec.hosts} hosts",
-        "(1 mega-host with ~1/3 of urls), politeness budget 4096/host/round,",
-        "exact-anti-join dedup, full parse + item extraction, snapshot commit",
-        "per round.  Same job, same input, local[8] (N) vs local[32] (4N),",
-        "back-to-back in adjacent sessions.",
-        "",
-        "| cluster size | cores | pages | rounds | wall sec | pages/sec |",
-        "|---|---|---|---|---|---|",
-    ]
-    for tag in ("N", "4N"):
-        r = out["crawl"][tag]
-        md.append(
-            f"| {tag} | {r['cores']} | {r['pages']} | {r['rounds']} |"
-            f" {r['sec']:.1f} | {r['pages_per_sec']:.1f} |"
+    out["crawl_scaling_efficiency"] = round(eff, 3)
+
+    if full:
+        from spiderman_spark.plans import fleet as fleetmod
+
+        coord = make_session(8, "scaling-fleet")
+        coord.sparkContext.setLogLevel("ERROR")
+        path = ensure_bench_corpus(coord, spec)
+        counts = [
+            (r["host"], r["count"])
+            for r in coord.read.parquet(path).groupBy("host").count().collect()
+        ]
+        out["fleet"] = {}
+        for workers, tag in ((1, "N"), (4, "4N")):
+            hm = fleetmod.plan_host_assignment(counts, max(workers, 1))
+            fd = tempfile.mkdtemp(prefix=f"scaling-fleet{workers}-")
+            r = fleetmod.run_fleet(
+                coord, fd, path, seeds, workers=workers, cores_per_worker=8,
+                budget=10**6, callbacks={"list": True, "detail": False},
+                driver_mem="12g", host_map=hm, pin_cpus=True,
+            )
+            r.pop("per_worker", None)
+            out["fleet"][tag] = r
+        coord.stop()
+        out["fleet_scaling_efficiency"] = round(
+            (out["fleet"]["4N"]["pages_per_sec"] / out["fleet"]["N"]["pages_per_sec"]) / 4, 3
         )
-    md += [
-        "",
-        f"**crawl scaling_efficiency = {out['crawl_scaling_efficiency']}**",
-        "",
-        "## Job 2 — image fetch + decode + verify (payload pipeline)",
-        "",
-        "The reference's attachment-download loop (`download.py:107-186`) at",
-        "production image sizes: 20000 images at 160-224 px, per row a corpus",
-        "fetch join, sampled numpy decode + dimension/phash verify (15%),",
-        "status MERGE, bytes written to the images table.  Cluster emulation:",
-        "N = one 8-core executor JVM over the whole corpus, 4N = four 8-core",
-        "executor JVMs over disjoint hash shards, run concurrently — scaling",
-        "out a wide-binary workload means more executor JVMs, not more",
-        "threads in one JVM (thread-scaling measurements showed a single",
-        "shared JVM inverts beyond ~8 threads on 100KB binary rows:",
-        "allocator/GC pressure, and a per-value JVM-to-Python Arrow cost;",
-        "mitigations applied: columnarReaderBatchSize=128, verify sampling,",
-        "bytes kept JVM-side on the write path, verdicts broadcast).",
-        "",
-        "Caveat: this sandbox's throughput drifts up to ~5x between",
-        "far-apart runs (shared infrastructure); the two legs below ran",
-        "adjacently to minimize drift, and the crawl job above is the",
-        "primary, stable criterion evidence.",
-        "",
-        "| cluster size | executors x cores | images | wall sec | images/sec |",
-        "|---|---|---|---|---|",
-    ]
-    for tag in ("N", "4N"):
-        r = out["image"][tag]
-        md.append(
-            f"| {tag} | {r['executors']} x {r['cores_per_executor']} |"
-            f" {r['images']} | {r['sec']:.1f} | {r['images_per_sec']:.1f} |"
+        out["image"] = {}
+        for n, tag in ((1, "N"), (4, "4N")):
+            r = run_download_executors(n, 8, pin_cpus=True)
+            r.pop("shards", None)
+            out["image"][tag] = r
+        out["image_scaling_efficiency"] = round(
+            (out["image"]["4N"]["images_per_sec"] / out["image"]["N"]["images_per_sec"]) / 4, 3
         )
-    md += [
-        "",
-        f"image pipeline scaling_efficiency = {out['image_scaling_efficiency']}",
-        "",
-        "## Measurement study (cross-run evidence & analysis)",
-        "",
-        "This sandbox's machine throughput drifts up to ~5x between runs",
-        "(identical 1x8 image jobs measured at 101s, 118s, 303s, and 583s at",
-        "different times), so single-pair efficiency numbers swing with",
-        "machine state.  Observed crawl-job pairs across the round:",
-        "",
-        "| run | N=local[8] pages/s | 4N=local[32] pages/s | efficiency |",
-        "|---|---|---|---|",
-        "| slow-machine window | 46.4 | 167.9 | **0.905** |",
-        "| fast-machine window | 250.8 | 396.0 | 0.395 |",
-        "| fast-machine window | 401.6 | 557.2 | 0.347 |",
-        "",
-        "Why both are consistent: each crawl round pays a fixed driver",
-        "barrier (planning + 5 snapshot commits + checkpoint, ~2-5s/round x 5",
-        "rounds) plus parallelizable work (scan, politeness windows, parse,",
-        "dedup joins).  On a slow machine the parallel term dominates and",
-        "efficiency is ~0.9; on a fast machine the fixed barrier dominates",
-        "at this corpus size (50k URLs) and the ratio compresses — classic",
-        "Amdahl.  At the north rule's 10^10-URL frontier a round carries",
-        "~10^6-10^8 pages, making the barrier noise: the slow-machine",
-        "window is the faithful proxy for production scaling, and the",
-        "per-round barrier has been engineered down (persisted round",
-        "batches, observation-based counters instead of extra count jobs,",
-        "metrics derived from crawl_order instead of a 6th table write,",
-        "size-based write coalescing, periodic url_seen compaction).",
-    ]
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
-        fh.write("\n".join(md) + "\n")
+
+    _write_baseline_md(out)
     return out
 
 
+def _write_baseline_md(out: dict) -> None:
+    cx = out["crawl_xl"]
+    md = f"""# BENCH — N→4N scaling evidence + measurement study
+
+## Criterion verdict (honest)
+
+**The ≥0.8 N→4N scaling-efficiency criterion is NOT met by fresh
+measurements on this sandbox** (latest primary-protocol result:
+**{out['crawl_scaling_efficiency']}**).  The study below shows why the
+*sandbox machine* — not the engine's plan structure — is the binding
+constraint: a single ~6 MB/s shared disk for incompressible writes, a
+one-JVM thread-scaling ceiling on Python/Arrow stages, up to ~5-7×
+machine-throughput drift between identical runs, and degradation when
+multiple Spark JVMs are co-resident **even with disjoint pinned CPU sets and
+tmpfs state**.  The engine-side facts that the criterion is meant to probe
+are demonstrated directly instead: no single-partition exchange anywhere in
+a round (asserted in tests/test_ranks.py), O(1) per-round driver barrier
+(~4.7 s measured, independent of round size), broadcast/bucketed/salted
+plans, and a shared-nothing multi-worker fleet whose only cross-worker state
+is append-only handoff files.  At the north rule's 10^7-10^8-page rounds the
+measured barrier is <1% of round time, predicting ≥0.95 efficiency on
+hardware whose disks and cores scale with executors.
+
+## Protocol A (primary): crawl frontier loop, N=local[8] vs 4N=local[32]
+
+BENCH_XL corpus: 5.05M URLs, 1024 uniform hosts, ~1.107M pages over 5 BFS
+rounds; same seed list + politeness budget both legs; engine state + shuffle
+on tmpfs (this machine's one shared disk writes incompressible data at
+~6 MB/s — measured 256 MB random in 41.6 s vs 0.19 s for zeros — so disk-
+backed state measures the hypervisor's write throttle, not the engine; a
+real cluster's disk bandwidth is per-node and scales with executors).
+
+| cluster size | cores | pages | rounds | wall sec | pages/sec |
+|---|---|---|---|---|---|
+| N | {cx['N']['cores']} | {cx['N']['pages']} | {cx['N']['rounds']} | {cx['N']['sec']:.1f} | {cx['N']['pages_per_sec']:.0f} |
+| 4N | {cx['4N']['cores']} | {cx['4N']['pages']} | {cx['4N']['rounds']} | {cx['4N']['sec']:.1f} | {cx['4N']['pages_per_sec']:.0f} |
+
+**crawl scaling_efficiency = {out['crawl_scaling_efficiency']}** (target ≥0.8 — not met; see study)
+"""
+    if "fleet" in out:
+        fl, im = out["fleet"], out["image"]
+        md += f"""
+## Protocol B (full run): CrawlFleet executor emulation, 1×8 vs 4×8 JVMs
+
+Host-sharded workers (plans/fleet.py), weighted LPT host assignment
+(balanced to ±0.01%), handoff exchange for cross-host children, per-worker
+pinned CPU ranges.
+
+| cluster size | workers × cores | pages | wall sec | pages/sec |
+|---|---|---|---|---|
+| N | {fl['N']['workers']} × {fl['N']['cores_per_worker']} | {fl['N']['fetched']} | {fl['N']['sec']:.1f} | {fl['N']['pages_per_sec']:.0f} |
+| 4N | {fl['4N']['workers']} × {fl['4N']['cores_per_worker']} | {fl['4N']['fetched']} | {fl['4N']['sec']:.1f} | {fl['4N']['pages_per_sec']:.0f} |
+
+fleet scaling_efficiency = {out['fleet_scaling_efficiency']}
+
+## Protocol C (full run): image fetch+decode+verify, 1×8 vs 4×8 JVMs
+
+| cluster size | executors × cores | images | wall sec | images/sec |
+|---|---|---|---|---|
+| N | {im['N']['executors']} × {im['N']['cores_per_executor']} | {im['N']['images']} | {im['N']['sec']:.1f} | {im['N']['images_per_sec']:.1f} |
+| 4N | {im['4N']['executors']} × {im['4N']['cores_per_executor']} | {im['4N']['images']} | {im['4N']['sec']:.1f} | {im['4N']['images_per_sec']:.1f} |
+
+image scaling_efficiency = {out['image_scaling_efficiency']}
+"""
+    md += _STUDY_MD
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(md)
+
+
+_STUDY_MD = """
+## Measurement study (round 2, one session, chronological)
+
+Every number below is from this round's session on the same 32-core VM.
+The machine's write path and run-to-run drift dominate all protocols.
+
+### S1 — the disk: incompressible writes throttle to ~6 MB/s machine-wide
+
+| probe | result |
+|---|---|
+| 256 MB zeros, buffered write | 0.19 s (~1.3 GB/s — hypervisor compresses) |
+| 256 MB random bytes, buffered write | 41.6 s (**~6 MB/s**) |
+| 200 MB zeros, O_DIRECT | 143 MB/s |
+
+Parquet/shuffle writes are snappy/lz4-compressed but still mostly
+incompressible payload at scale; the device is ONE shared queue, so write
+throughput cannot scale with cores or JVMs on this machine.  All scaling
+runs below therefore moved engine state + shuffle to tmpfs.
+
+### S2 — crawl thread scaling improves with round size and barrier work, then
+hits the one-JVM ceiling
+
+Per-round driver barrier measured at ~4.7 s (a 16-page tail round costs
+4.74 s; phase breakdown at 8 cores: politeness+offsets 0.95 s, fetch 0.46 s,
+parse handoff 0.48 s, admission 0.83 s, one write 0.25 s + 5-way parallel
+write wave).  Round-2 work (this round) removed one of two per-round
+offset-collect actions (sparse child seqs), made the 5 state writes
+concurrent, and replaced both global windows with the two-phase range rank.
+
+| corpus (pages/run) | protocol | N pages/s | 4N pages/s | eff |
+|---|---|---|---|---|
+| BENCH 11k, disk | local[8]→local[32] | 367 | 474 | 0.32 |
+| BENCH×10 110k, disk | local[8]→local[32] | 1675 | 2671 | 0.40 |
+| BENCH_XL 1.1M, tmpfs | local[8]→local[32] | 5637 | 11340 | **0.50** |
+
+The Protocol A pair is machine-state dependent: the identical run measured
+0.50 in a quiet window and 0.31 ninety minutes later under background
+interference — single-pair efficiencies on this sandbox carry ±0.2 of
+machine noise (S4).
+
+Residual gap: Python/Arrow stages thread-scale ~2.0× for 4× threads in one
+JVM (isolated parse benchmark: 11.6 s at 8 cores → 5.7 s at 32), and
+wide-payload stages invert outright (below).
+
+### S3 — one-JVM thread scaling INVERTS on wide payloads
+
+| job | local[8] | local[32] | eff |
+|---|---|---|---|
+| image fetch+decode+verify (100 KB binaries) | 28.0 s | 51.1 s | 0.14 |
+| crawl with 6 KB page bodies (BENCH_SCALE) | 122.5 s | 290.1 s | 0.11 |
+
+Allocator/GC pressure on wide rows in a shared heap — the reason real
+clusters scale executors (JVMs), not threads.  Mitigations already in the
+engine: columnarReaderBatchSize=128, Arrow batch caps, bytes-stay-JVM-side
+image path, verify sampling.
+
+### S4 — but co-resident executor JVMs degrade on this VM even when pinned
+
+CrawlFleet, BENCH_XL, perfectly balanced weighted host shards, tmpfs state:
+
+| config | wall sec |
+|---|---|
+| 1 worker × 8 cores | 228.8 |
+| 4 workers × 8 cores (shared scheduler) | 313.1 |
+| 4 workers × 8 cores (taskset-pinned, disjoint) | 266.9 |
+
+Four pinned 8-core JVMs each take ~4.7× longer per page than one identical
+JVM doing 4× the work alone — with disk, CPU sets, and work balance all
+controlled, the remaining suspects are host-level memory-bandwidth/LLC
+contention and hypervisor steal.  The image pipeline shows the same
+signature under the executor-process protocol (tmpfs + pinned, hash-sharded
+inputs):
+
+| config | images/s |
+|---|---|
+| 1 executor × 8 cores | 55.7 (the same job measured 774/s in a quiet window — ~14× drift) |
+| 4 executors × 8 cores, pinned | 42.2 (eff 0.19) |
+
+The same interference inflated identical single jobs 28 s → 127 s → 389 s
+across the session.
+
+### S5 — what this means for the 10^10 frontier
+
+The engine-side scaling levers are all in place and asserted in CI: no
+single-partition Exchange in a round (test_ranks.py), O(1) driver barrier
+per round (S2), corpus never shuffled in the fetch join (broadcast below
+300k rows, shuffle join above — both sides partition-parallel), bucketed
+file_meta MERGE, per-host salted politeness, host-sharded fleet with
+weighted assignment and append-only handoff.  With the measured 4.7 s
+barrier and measured per-page parallel cost (~0.09 ms·core), a production
+round of 10^7 pages is >99% parallel work — Amdahl predicts ≥0.95 N→4N
+efficiency on hardware whose cores and disks actually scale.  This sandbox
+cannot exhibit that number; the table above is what it CAN measure, reported
+without selection.
+"""
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        res = bench_scaling()
-        print(json.dumps(res, default=str))
+    if "--scaling-full" in sys.argv:
+        print(json.dumps(bench_scaling(full=True), default=str))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling(), default=str))
     else:
         print(json.dumps(bench_queries()))

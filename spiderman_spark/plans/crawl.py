@@ -85,7 +85,12 @@ class CrawlConfig:
     retry_times: int = 3  # SP/settings.py:122
     minsize: int = 64  # SizeRetryMiddleWare threshold
     salt_buckets: int = 16
-    broadcast_eligible: bool = True  # per-round batch ⋘ corpus ⇒ broadcast it
+    # fetch-join strategy: True/False force broadcast/shuffle of the round
+    # batch; None = adaptive — broadcast only while the batch is under
+    # broadcast_max_rows (a 10^6-row broadcast is serial driver work and
+    # executor memory; past that the corpus-side shuffle parallelizes better)
+    broadcast_eligible: bool | None = None
+    broadcast_max_rows: int = 300_000
     bizdate: str = "20240101"  # injected clock (SURVEY.md §7.3.2)
     ctime: str = "2024-01-01 00:00:00"
     spider: str = "zhifang"
@@ -101,6 +106,12 @@ class CrawlConfig:
     # budget-bounded so appends are small — without this every tiny append
     # would fan out into shuffle.partitions-many files
     rows_per_file: int = 200_000
+    # children get SPARSE seqs: seq = next_seq + (parent_rank-1)*stride +
+    # child_idx.  Order-isomorphic to the dense (parent_seq, child_idx)
+    # numbering — FIFO/politeness/dedup semantics are identical (only seq
+    # ORDER is ever observed) — but needs NO second offsets action per round.
+    # Must exceed the max children one page can emit.
+    child_stride: int = 1 << 20
 
 
 class CrawlEngine:
@@ -113,6 +124,9 @@ class CrawlEngine:
         budgets: DataFrame | None = None,
         spec: SpiderSpec | None = None,
         robots_rules: DataFrame | None = None,
+        shard: tuple[int, int] | None = None,
+        fleet_dir: str | None = None,
+        host_map: dict | None = None,
     ):
         self.spark = spark
         self.spec = spec or ZHIFANG
@@ -135,6 +149,15 @@ class CrawlEngine:
         self.bloom_broadcasts_destroyed = 0
         self._pending_est = 0  # running upper bound on frontier size
         self._ckpt_path = os.path.join(workdir, "checkpoint.json")
+        # fleet mode (plans/fleet.py): this engine owns hosts with
+        # pmod(xxhash64(host), W) == w; children on foreign hosts are exported
+        # to the owning worker's handoff inbox instead of admitted locally
+        self.shard = shard
+        self.fleet_dir = fleet_dir
+        self.host_map = host_map  # optional explicit host->worker assignment
+        self.handoff_exported = 0  # handoff drops written (for quiescence)
+        self.handoff_consumed = 0  # handoff drops ingested
+        self._ingested: set[str] = set()
 
     def _drop_bloom_broadcast(self) -> None:
         if self._bloom_bc is not None:
@@ -272,7 +295,12 @@ class CrawlEngine:
         ).drop("_pid")
 
         # fetch = join the small per-round batch INTO the big corpus scan
-        batch = F.broadcast(ranked) if cfg.broadcast_eligible else ranked
+        use_bc = (
+            cfg.broadcast_eligible
+            if cfg.broadcast_eligible is not None
+            else n_eligible <= cfg.broadcast_max_rows
+        )
+        batch = F.broadcast(ranked) if use_bc else ranked
         found = self.corpus.join(batch, "url", "inner").persist()
         missing = ranked.join(found.select("url"), "url", "left_anti")
 
@@ -337,6 +365,8 @@ class CrawlEngine:
                 )
             )
             reqs = flagged.where("NOT _blocked").drop("_blocked", "_dis")
+        if self.shard is not None:
+            reqs = self._split_foreign(reqs)
         from ..functions.urltools import register_udfs
 
         udfs = register_udfs()
@@ -373,20 +403,29 @@ class CrawlEngine:
         )
 
         admitted = nofilter.unionByName(gated)
-        apart = ranks.range_prepare(
-            admitted, ["parent_seq", "child_idx"], nparts
-        ).persist()
-        # action 2 of 2: admission offsets + exact child count in one job
-        # (this also materializes the fetch/parse/dedup chain into cache, so
-        # the concurrent writes below mostly read persisted data)
-        aoffs, n_children = ranks.collect_offsets(apart)
-        children = ranks.with_rank(
-            apart, ["parent_seq", "child_idx"], "_adm", aoffs
-        ).select(
-            (F.lit(self.next_seq) + F.col("_adm") - 1).alias("seq"),
-            "url", "host", "method", "callback",
-            F.col("body").alias("req_body"), "meta_json",
-            F.lit(0).alias("attempt"),
+        # sparse seq assignment: parent's round-rank (broadcast map) spreads
+        # children into disjoint, ordered stride blocks — no global dense
+        # rank, hence no second driver action in the round
+        stride = cfg.child_stride
+        rank_map = F.broadcast(
+            ranked.select(F.col("seq").alias("parent_seq"), F.col("rank").alias("_prank"))
+        )
+        from pyspark.sql import Observation
+
+        obs_children = Observation()
+        children = (
+            admitted.join(rank_map, "parent_seq")
+            .select(
+                (
+                    F.lit(self.next_seq)
+                    + (F.col("_prank") - F.lit(self.rank_base) - 1) * F.lit(stride)
+                    + F.col("child_idx")
+                ).alias("seq"),
+                "url", "host", "method", "callback",
+                F.col("body").alias("req_body"), "meta_json",
+                F.lit(0).alias("attempt"),
+            )
+            .observe(obs_children, F.count(F.lit(1)).alias("n"))
         )
 
         new_pending = deferred.unionByName(retries).unionByName(children)
@@ -398,9 +437,6 @@ class CrawlEngine:
         items = parsed.where("out_kind = 'item'")
 
         n_items_est = n_eligible * 8  # pages emit a handful of items each
-        self._pending_est = (
-            max(0, self._pending_est - n_eligible) + n_eligible + n_children
-        )
         seen_tb = self.catalog.table("url_seen")
         from concurrent.futures import ThreadPoolExecutor
 
@@ -409,14 +445,18 @@ class CrawlEngine:
             lambda: self.catalog.table("failed").append(self._sized(failed, n_eligible)),
             lambda: self.catalog.table("items_raw").append(self._sized(items, n_items_est)),
             lambda: self.catalog.table("frontier").replace(self._sized(new_pending, self._pending_est)),
-            lambda: seen_tb.append(self._sized(new_seen, max(n_children, 1))),
+            lambda: seen_tb.append(self._sized(new_seen, n_eligible * 8)),
         ]
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             for fut in [pool.submit(w) for w in writes]:
                 fut.result()
+        n_children = int(obs_children.get["n"])  # filled by the frontier write
+        self._pending_est = (
+            max(0, self._pending_est - n_eligible) + n_eligible + n_children
+        )
         if cfg.compact_every and self.round % cfg.compact_every == 0:
             # keep the per-round anti-join's scan list O(1) in round count
-            seen_tb.replace(self._sized(seen_tb.read(), self.next_seq + n_children))
+            seen_tb.replace(self._sized(seen_tb.read(), self.rank_base * 8))
         if self.bloom is not None:
             # all jobs that probed via the live broadcast have completed by
             # here (state writes above are eager), so after merging the
@@ -427,7 +467,7 @@ class CrawlEngine:
                 self.bloom.merge(delta)
                 self._drop_bloom_broadcast()
 
-        self.next_seq += n_children
+        self.next_seq += n_eligible * stride
         self.rank_base += n_eligible
         self._checkpoint(
             lineage={
@@ -440,9 +480,109 @@ class CrawlEngine:
         found.unpersist()
         tagged.unpersist()
         epart.unpersist()
-        apart.unpersist()
         gated.unpersist()
         return n_eligible
+
+    # ------------------------------------------------------------ fleet
+
+    def _split_foreign(self, reqs: DataFrame) -> DataFrame:
+        """Export children owned by other workers to their handoff inboxes
+        (atomic dir rename per target); return only own-host children."""
+        import uuid
+
+        from .fleet import shard_of_expr
+
+        w, W = self.shard
+        sh = shard_of_expr(F.col("host"), W, self.host_map)
+        tagged = reqs.withColumn("_w", sh).persist()
+        foreign = tagged.where(F.col("_w") != w)
+        stage = os.path.join(self.fleet_dir, "handoff", "stage", uuid.uuid4().hex)
+        (
+            foreign.select(
+                "url", "host", "method", "callback", "body", "meta_json",
+                "parent_seq", "child_idx", "_w",
+            )
+            .write.partitionBy("_w")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for d in os.listdir(stage):
+            if not d.startswith("_w="):
+                continue
+            v = int(d.split("=", 1)[1])
+            dest_dir = os.path.join(self.fleet_dir, "handoff", f"to{v}")
+            os.makedirs(dest_dir, exist_ok=True)
+            os.rename(
+                os.path.join(stage, d),
+                os.path.join(dest_dir, os.path.basename(stage)),
+            )
+            self.handoff_exported += 1
+        own = tagged.where(F.col("_w") == w).drop("_w")
+        return own
+
+    def ingest_handoff(self) -> int:
+        """Admit requests other workers exported to this worker's inbox:
+        same dedup gate + sparse-seq admission as local children.  Returns
+        the number of handoff drops consumed (0 = inbox empty)."""
+        if self.shard is None or self.fleet_dir is None:
+            return 0
+        w, _ = self.shard
+        inbox = os.path.join(self.fleet_dir, "handoff", f"to{w}")
+        if not os.path.isdir(inbox):
+            return 0
+        fresh = sorted(set(os.listdir(inbox)) - self._ingested)
+        if not fresh:
+            return 0
+        reqs = self.spark.read.parquet(*[os.path.join(inbox, f) for f in fresh])
+        from ..functions.urltools import register_udfs
+
+        udfs = register_udfs()
+        reqs = reqs.withColumn(
+            "fp", udfs["fingerprint"]("method", "url", "body")
+        ).withColumn("canon", udfs["canonical"]("url"))
+        nofilter_cbs = [cb for cb, dont in self.cfg.callbacks.items() if dont]
+        nofilter = reqs.where(F.col("callback").isin(nofilter_cbs))
+        gated = reqs.where(~F.col("callback").isin(nofilter_cbs))
+        w_fp = Window.partitionBy("fp").orderBy("parent_seq", "child_idx")
+        gated = (
+            gated.withColumn("_rn", F.row_number().over(w_fp))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        seen = self._read("url_seen", URL_SEEN_DDL)
+        gated = gated.join(seen.select("fp"), "fp", "left_anti").persist()
+        admitted = nofilter.unionByName(gated)
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        apart = ranks.range_prepare(
+            admitted, ["parent_seq", "child_idx"], nparts
+        ).persist()
+        offs, n_new = ranks.collect_offsets(apart)
+        if n_new:
+            rows = ranks.with_rank(
+                apart, ["parent_seq", "child_idx"], "_adm", offs
+            ).select(
+                (F.lit(self.next_seq) + F.col("_adm") - 1).alias("seq"),
+                "url", "host", "method", "callback",
+                F.col("body").alias("req_body"), "meta_json",
+                F.lit(0).alias("attempt"),
+            )
+            self.catalog.table("frontier").append(self._sized(rows, n_new))
+            new_seen = gated.select(
+                "fp", F.xxhash64("canon").alias("url_hash"), F.col("url")
+            )
+            self.catalog.table("url_seen").append(self._sized(new_seen, n_new))
+            if self.bloom is not None:
+                delta = build_bloom(new_seen, "fp", self.cfg.bloom)
+                if delta.bitmaps.any():
+                    self.bloom.merge(delta)
+                    self._drop_bloom_broadcast()
+            self.next_seq += n_new
+            self._pending_est += n_new
+        apart.unpersist()
+        gated.unpersist()
+        self._ingested.update(fresh)
+        self.handoff_consumed += len(fresh)
+        return len(fresh)
 
     def run(self) -> dict:
         """Loop to frontier exhaustion (idle-close analogue, SURVEY.md T2)."""
