@@ -8,13 +8,15 @@ to *content* dedup for training-data curation.  Design notes per operator:
 - n-gram Jaccard: exact pairwise similarity via an inverted shingle index
   (explode → self-join on shingle → count per pair).  Quadratic in the worst
   case — the LSH variant is the scale path; this is the ground truth.
-- MinHash+LSH: k xxhash64 hash functions (seeded by constant columns, all
-  JVM-side) → minhash signature → band buckets → candidate pairs only within
-  buckets.  At 100 TB this is the only affordable near-dup pass: cost is
-  O(rows × k) + a shuffle keyed by (band, bucket-hash) whose groups are tiny.
-- SimHash: 64-bit bit-majority of token hashes, computed with bitwise Column
-  expressions (explode → 64 bit-sums → sign bits), hamming-distance pairing
-  on identical 16-bit blocks (Charikar-style block index).
+- MinHash+LSH: k md5-slice hash permutations (lexicographic min over
+  fixed-width hex == numeric min, and the identical expression runs in
+  DuckDB → fully oracle-checked) → banded buckets → candidate pairs only
+  within buckets, exact-verified.  At 100 TB this is the only affordable
+  near-dup pass: cost is O(rows × k) + a shuffle keyed by (band, bucket)
+  whose groups are tiny + output-proportional verify.
+- SimHash: 64-bit bit-majority of token hashes (explode → 64 codegen'd
+  bit-sums → sign bits) — ``simhash`` uses xxhash64 (fast path,
+  property-tested), ``simhash_hex`` the md5 bit family (DuckDB-oracled).
 """
 
 from pyspark.sql import DataFrame, functions as F
@@ -176,8 +178,13 @@ def minhash_lsh_pairs(
         .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
         .distinct()
     )
-    a = sh.select(F.col("did").alias("id_a"), F.col("grams").alias("ga"))
-    b = sh.select(F.col("did").alias("id_b"), F.col("grams").alias("gb"))
+    # candidate pairs can dwarf the doc dimension (near-dup cliques make
+    # |pairs| quadratic in clique size): broadcast the grams side so the big
+    # pair stream never shuffles.  If the doc dimension outgrows executor
+    # memory at extreme scale, drop the hints and AQE falls back to SMJ —
+    # the pair-side shuffle is then the inherent cost of pair output.
+    a = F.broadcast(sh.select(F.col("did").alias("id_a"), F.col("grams").alias("ga")))
+    b = F.broadcast(sh.select(F.col("did").alias("id_b"), F.col("grams").alias("gb")))
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
