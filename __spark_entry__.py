@@ -229,6 +229,19 @@ def q18_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=1, k=32, bands=8, threshold=0.6)
 
 
+def q34_minhash_lsh_fast(spark, sf_dir):
+    """MinHash+LSH, xxhash64 fast family — the production/bench path (one
+    JVM xxhash64 per gram-permutation instead of md5 hex).  Same pipeline as
+    q18; the oracle joins the per-gram hash fixture materialized by the
+    independent pure-Python xxh64 (tests/make_fixtures.py), then reproduces
+    banding + verify in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=1, k=32, bands=8, threshold=0.6,
+        hash_family="xxhash64",
+    )
+
+
 def q19_simhash(spark, sf_dir):
     """64-bit SimHash (md5 bit family, hex output → DuckDB-oracled; the
     xxhash64 `dedup.simhash` fast path is property-tested in pytest)."""
@@ -451,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_dirty_url_blacklist": q31_dirty_url_blacklist,
         "q32_embedding_neardup": q32_embedding_neardup,
         "q33_embedding_neardup_lsh": q33_embedding_neardup_lsh,
+        "q34_minhash_lsh_fast": q34_minhash_lsh_fast,
     }
 
 
@@ -604,6 +618,39 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents), shf AS (SELECT * FROM sh WHERE len(grams) > 0),"
         f" sig AS (SELECT did, {_sig_cols} FROM shf),"
         f" band AS ({_band_rows}),"
+        " cand AS (SELECT DISTINCT x.did AS id_a, y.did AS id_b FROM band x"
+        " JOIN band y ON x.band = y.band AND x.bucket = y.bucket AND x.did < y.did),"
+        " v AS (SELECT id_a, id_b, len(list_intersect(a.grams, b.grams)) AS common,"
+        " len(a.grams) AS sa, len(b.grams) AS sb FROM cand"
+        " JOIN shf a ON id_a = a.did JOIN shf b ON id_b = b.did)"
+        " SELECT id_a, id_b,"
+        " CAST(FLOOR(common * 10000.0 / (sa + sb - common)) AS BIGINT) AS jaccard_bp"
+        f" FROM v WHERE FLOOR(common * 10000.0 / (sa + sb - common)) >= {_thr}"
+    )
+    # generated q34 oracle: xxhash64 MinHash family.  DuckDB cannot evaluate
+    # xxhash64, so per-(perm, gram) hashes come from a fixture parquet written
+    # by the INDEPENDENT pure-Python xxh64 (tests/make_fixtures.py; the two
+    # implementations are cross-checked in tests/test_xxh64.py).  Everything
+    # downstream — permutation minima, md5 band buckets over the stringified
+    # longs, candidate join, exact Jaccard verify — is computed by DuckDB.
+    _sig34 = ", ".join(
+        f"min(h) FILTER (WHERE i = {i}) AS s{i}" for i in range(_k)
+    )
+    _band34 = " UNION ALL ".join(
+        f"SELECT did, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"CAST(s{i} AS VARCHAR)" for i in range(b * _rpb, (b + 1) * _rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(_bands)
+    )
+    sql["q34_minhash_lsh_fast"] = (
+        "WITH sh AS (SELECT doc_id AS did,"
+        " list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS grams"
+        " FROM documents), shf AS (SELECT * FROM sh WHERE len(grams) > 0),"
+        " inv AS (SELECT did, unnest(grams) AS g FROM shf),"
+        " hx AS (SELECT did, i, h FROM inv JOIN"
+        f" read_parquet('{_fix}/q34_gram_hashes.parquet') USING (g)),"
+        f" sig AS (SELECT did, {_sig34} FROM hx GROUP BY did),"
+        f" band AS ({_band34}),"
         " cand AS (SELECT DISTINCT x.did AS id_a, y.did AS id_b FROM band x"
         " JOIN band y ON x.band = y.band AND x.bucket = y.bucket AND x.did < y.did),"
         " v AS (SELECT id_a, id_b, len(list_intersect(a.grams, b.grams)) AS common,"

@@ -32,7 +32,9 @@ HEADLINE = [
     "q14_lineitem_rollup",
     "q07_politeness_topk",
     "q16_dedup_exact",
-    "q18_minhash_lsh",  # the near-dup scale path (exact q17 is O(n²): oracle-only)
+    "q34_minhash_lsh_fast",  # near-dup scale path, xxhash64 family (exact q17
+    # is O(n²) and the md5-family q18 is the directly-SQL-oracled twin —
+    # both stay out of the headline)
     "q19_simhash",
     "q21_lang_id",
     "q24_ann_cosine_topk",

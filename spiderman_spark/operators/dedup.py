@@ -8,12 +8,19 @@ to *content* dedup for training-data curation.  Design notes per operator:
 - n-gram Jaccard: exact pairwise similarity via an inverted shingle index
   (explode → self-join on shingle → count per pair).  Quadratic in the worst
   case — the LSH variant is the scale path; this is the ground truth.
-- MinHash+LSH: k md5-slice hash permutations (lexicographic min over
-  fixed-width hex == numeric min, and the identical expression runs in
-  DuckDB → fully oracle-checked) → banded buckets → candidate pairs only
+- MinHash+LSH: k hash permutations → banded buckets → candidate pairs only
   within buckets, exact-verified.  At 100 TB this is the only affordable
   near-dup pass: cost is O(rows × k) + a shuffle keyed by (band, bucket)
-  whose groups are tiny + output-proportional verify.
+  whose groups are tiny + output-proportional verify.  TWO hash families
+  (mirroring the ``simhash``/``simhash_hex`` split):
+  * ``hash_family='xxhash64'`` — the production/bench path: one JVM
+    xxhash64 per (gram, permutation), ~an order of magnitude cheaper than
+    md5-of-string; oracle-checked through a hash FIXTURE materialized by the
+    independent pure-Python ``functions.xxh64`` implementation.
+  * ``hash_family='md5'`` — first-16-hex-chars-of-md5 permutations
+    (lexicographic min over fixed-width hex == numeric min); the identical
+    expression runs in DuckDB, so the whole pipeline is directly
+    SQL-oracled with no fixture.
 - SimHash: 64-bit bit-majority of token hashes (explode → 64 codegen'd
   bit-sums → sign bits) — ``simhash`` uses xxhash64 (fast path,
   property-tested), ``simhash_hex`` the md5 bit family (DuckDB-oracled).
@@ -84,47 +91,62 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "common", "size_a", "size_b", "jaccard_bp")
 
 
-def minhash_value(gram_col, i: int):
-    """MinHash permutation i of one gram: the first 16 hex chars of
-    md5('<i>:' || gram).  Lexicographic order over fixed-width lowercase hex
-    equals numeric order over the uint64 it encodes, so ``array_min`` is the
-    permutation minimum — and the *identical* expression exists in DuckDB
-    (``substring(md5(...), 1, 16)``), making the whole family cross-engine
-    checkable, unlike xxhash64 (round-1 VERDICT next-step #6)."""
+def minhash_value(gram_col, i: int, hash_family: str = "md5"):
+    """MinHash permutation i of one gram.
+
+    ``md5``: the first 16 hex chars of md5('<i>:' || gram) — lexicographic
+    order over fixed-width lowercase hex equals numeric order over the uint64
+    it encodes, so ``array_min`` is the permutation minimum, and the
+    *identical* expression exists in DuckDB (``substring(md5(...), 1, 16)``).
+
+    ``xxhash64``: signed-long xxhash64('<i>:' || gram) — far cheaper in the
+    JVM (no cryptographic rounds, no hex string); min under the signed total
+    order is an equally valid permutation minimum.  DuckDB has no xxhash64,
+    so the oracle for this family joins a fixture table of (i, gram, hash)
+    rows produced by the independent pure-Python ``functions.xxh64``."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.concat(F.lit(f"{i}:"), gram_col))
     return F.substring(F.md5(F.concat(F.lit(f"{i}:"), gram_col)), 1, 16)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 32
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 32,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """(id, sig array<string>): k-permutation MinHash over word n-grams.
+    """(id, sig array): k-permutation MinHash over word n-grams
+    (array<string> for the md5 family, array<long> for xxhash64).
 
-    All JVM built-ins (md5/substring/array_min inside whole-stage codegen),
-    no Python in the path."""
+    All JVM built-ins (hash/array_min inside whole-stage codegen), no Python
+    in the path."""
     sh = df.select(
         F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
     ).where(F.size("grams") > 0)
-    return sh.select("did", _sig_expr(k).alias("sig"))
+    return sh.select("did", _sig_expr(k, hash_family).alias("sig"))
 
 
-def _sig_expr(k: int):
+def _sig_expr(k: int, hash_family: str = "md5"):
     # NB: close over i via a factory — a `lambda g, i=i:` default-arg would
     # make F.transform see a TWO-arg callable and feed the array index in as
     # the second argument, silently collapsing all k permutations into one
     def perm_min(i: int):
-        return F.array_min(F.transform("grams", lambda g: minhash_value(g, i)))
+        return F.array_min(
+            F.transform("grams", lambda g: minhash_value(g, i, hash_family))
+        )
 
     return F.array(*[perm_min(i) for i in range(k)])
 
 
 def band_bucket(sig_col_name: str, b: int, rows_per_band: int):
     """Band b's bucket key: md5 over the band's signature slice (fixed-width
-    join key instead of a concatenated 16*r-char string)."""
+    join key instead of a concatenated 16*r-char string).  Elements are cast
+    to string so both hash families (hex-string / signed-long signatures)
+    produce a DuckDB-reproducible key — per-doc×band cost, negligible next to
+    the per-gram×k signature hashing."""
     return F.md5(
         F.concat_ws(
             "|",
             *[
-                F.col(sig_col_name)[i]
+                F.col(sig_col_name)[i].cast("string")
                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)
             ],
         )
@@ -139,6 +161,10 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_family: str = "md5",
+    broadcast_grams: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded LSH, then exact Jaccard verify on candidates.
 
@@ -147,16 +173,35 @@ def minhash_lsh_pairs(
     (the 100 TB-scale near-dup plan).  The shingle pass is computed ONCE and
     persisted — signatures, banding, and the verify joins all read it (the
     round-1 headline profile showed the tokenize+shingle expression tree,
-    evaluated three times, dominating q18)."""
+    evaluated three times, dominating q18).
+
+    ``hash_family``: 'xxhash64' (production/bench, fixture-oracled) or 'md5'
+    (directly SQL-oracled) — see ``minhash_value``.
+
+    ``broadcast_grams``: verify-join strategy for the per-doc grams sides.
+    The candidate-pair stream can dwarf the doc dimension (near-dup cliques
+    make |pairs| quadratic in clique size), so broadcasting grams keeps the
+    big pair stream from shuffling — but a FORCED broadcast of a 100 TB-scale
+    doc table OOMs the driver.  ``None`` (default) adapts on the measured doc
+    count vs ``broadcast_max_rows`` (the ``CrawlConfig.broadcast_eligible``
+    pattern); True/False force.  Above the threshold AQE picks the join.
+
+    ``materialize=True`` (default) computes the verified pairs eagerly
+    (``localCheckpoint``) and unpersists the shingle cache before returning —
+    repeated calls leak nothing (round-2 ADVICE).  ``materialize=False``
+    returns the lazy plan (for ``explain`` inspection) and never persists."""
     rows_per_band = k // bands
-    sh = (
-        df.select(
-            F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
-        )
-        .where(F.size("grams") > 0)
-        .persist()
-    )
-    sigs = sh.select("did", _sig_expr(k).alias("sig"))
+    sh = df.select(
+        F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).where(F.size("grams") > 0)
+    if materialize:
+        sh = sh.persist()
+    use_bc = broadcast_grams
+    if use_bc is None:
+        # one tiny action against the already-persisted shingle cache; in
+        # plan-inspection mode (no persist, no actions) assume the small case
+        use_bc = sh.count() <= broadcast_max_rows if materialize else True
+    sigs = sh.select("did", _sig_expr(k, hash_family).alias("sig"))
     banded = sigs.select(
         "did",
         F.explode(
@@ -178,13 +223,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
         .distinct()
     )
-    # candidate pairs can dwarf the doc dimension (near-dup cliques make
-    # |pairs| quadratic in clique size): broadcast the grams side so the big
-    # pair stream never shuffles.  If the doc dimension outgrows executor
-    # memory at extreme scale, drop the hints and AQE falls back to SMJ —
-    # the pair-side shuffle is then the inherent cost of pair output.
-    a = F.broadcast(sh.select(F.col("did").alias("id_a"), F.col("grams").alias("ga")))
-    b = F.broadcast(sh.select(F.col("did").alias("id_b"), F.col("grams").alias("gb")))
+    a = sh.select(F.col("did").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("did").alias("id_b"), F.col("grams").alias("gb"))
+    if use_bc:
+        a, b = F.broadcast(a), F.broadcast(b)
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -197,8 +239,14 @@ def minhash_lsh_pairs(
             ).cast("long"),
         )
         .where(F.col("jaccard_bp") >= int(threshold * 10000))
-    )
-    return verified.select("id_a", "id_b", "jaccard_bp")
+    ).select("id_a", "id_b", "jaccard_bp")
+    if materialize:
+        # pairs-above-threshold are output-proportional (small next to the
+        # corpus): checkpoint them locally so the shingle cache can be
+        # released deterministically instead of leaking per call
+        verified = verified.localCheckpoint()
+        sh.unpersist()
+    return verified
 
 
 HEX_CHARS = "0123456789abcdef"

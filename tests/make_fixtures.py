@@ -1,13 +1,16 @@
-"""Materialize SIMULATOR-derived expected outputs for the end-to-end crawl
-queries (q27 crawl order, q28 image download) as parquet fixtures, so the
-driver's DuckDB oracle can check them with ``read_parquet(...)`` instead of a
-rows-only pass (round-1 VERDICT next-step #6).
+"""Materialize oracle fixtures the DuckDB side cannot compute itself:
 
-The fixtures come from the single-threaded reference simulator
-(spiderman_spark.simulator — the scrapy-redis-semantics oracle, independent
-of the Spark engine) plus the pure corpus/image generators; NO Spark code
-runs here.  ``tests/test_entry_oracle.py::test_fixture_files_current``
-regenerates them and fails if the committed files drift.
+- q27/q28: SIMULATOR-derived expected outputs for the end-to-end crawl
+  queries (single-threaded scrapy-redis-semantics oracle + pure corpus/image
+  generators — independent of the Spark engine).
+- q34: per-(permutation, gram) xxhash64 values for the fast MinHash family,
+  computed by the INDEPENDENT pure-Python ``functions.xxh64`` over the
+  distinct tokens of the driver's sf0.01 documents table (DuckDB has no
+  xxhash64; the Python and JVM implementations are cross-checked in
+  tests/test_xxh64.py, so this fixture is not an echo of the engine).
+
+NO Spark code runs here.  ``tests/test_entry_oracle.py::
+test_fixture_files_current`` regenerates everything and fails on drift.
 
 Regenerate with:  python tests/make_fixtures.py
 """
@@ -77,11 +80,46 @@ def q28_expected() -> pd.DataFrame:
     return df.astype({"w": "int32", "h": "int32", "phash": "int64"})
 
 
+TESTDATA_SFS = ("sf0.001", "sf0.01", "sf0.1")  # oracle runs at sf0.01;
+# pytest at sf0.001 — cover every scale's vocabulary (identical by generator
+# construction; the union guards against that assumption)
+MINHASH_K = 32  # must mirror q34_minhash_lsh_fast
+
+
+def q34_gram_hashes() -> pd.DataFrame:
+    """(i, g, h): signed xxhash64('<i>:' || gram) for every distinct token of
+    the driver documents tables × every MinHash permutation, from the pure-
+    Python reference implementation (same tokenization as word_ngrams n=1 /
+    the q18 oracle's regexp_split_to_array(trim(text), '\\s+'))."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from spiderman_spark.functions.xxh64 import xxh64_signed
+
+    grams: set[str] = set()
+    for sf in TESTDATA_SFS:
+        path = os.path.join("/root/testdata", sf, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        for t in pq.read_table(path, columns=["text"]).column("text").to_pylist():
+            grams.update(re.split(r"\s+", (t or "").strip()))
+    rows = [
+        (i, g, xxh64_signed(f"{i}:{g}".encode()))
+        for g in sorted(grams)
+        for i in range(MINHASH_K)
+    ]
+    return pd.DataFrame(rows, columns=["i", "g", "h"]).astype(
+        {"i": "int32", "h": "int64"}
+    )
+
+
 def write_all(outdir: str = FIXDIR) -> dict:
     os.makedirs(outdir, exist_ok=True)
     out = {
         "q27_crawl_order.parquet": q27_expected(),
         "q28_images.parquet": q28_expected(),
+        "q34_gram_hashes.parquet": q34_gram_hashes(),
     }
     for name, df in out.items():
         df.to_parquet(os.path.join(outdir, name), index=False)

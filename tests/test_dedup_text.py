@@ -30,6 +30,74 @@ def test_minhash_lsh_subset_and_recall(spark):
     assert exact and len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
 
 
+def test_minhash_fast_family_quality_and_subset(spark):
+    """The xxhash64 production family must behave like the md5 oracled family:
+    every emitted pair is exactly-verified (subset of exact Jaccard pairs) and
+    recall at the operating threshold stays high.  The two families use
+    independent permutations, so candidate sets may differ at the margin —
+    the exact-verify stage makes both PRECISE; only recall can differ."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.6).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=1, k=32, bands=8, threshold=0.6,
+            hash_family="xxhash64",
+        ).collect()
+    }
+    assert fast <= exact
+    assert exact and len(fast) / len(exact) >= 0.9, (len(fast), len(exact))
+
+
+def test_minhash_verify_join_broadcast_modes(spark):
+    """VERDICT r2 #3: the grams sides of the verify join must be
+    broadcast-able under the threshold and NOT forced above it (AQE/SMJ takes
+    over) — both modes asserted on the physical plan."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+    def plan(broadcast_grams):
+        import io
+        from contextlib import redirect_stdout
+
+        df = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=1, k=8, bands=2, threshold=0.6,
+            broadcast_grams=broadcast_grams, materialize=False,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # distinguish a FORCED broadcast (the hint) from Catalyst choosing one on
+    # size stats: with auto-broadcast off, only the hinted mode may broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bc = plan(True)
+        assert "BroadcastHashJoin" in bc
+        no_bc = plan(False)
+        assert "SortMergeJoin" in no_bc or "ShuffledHashJoin" in no_bc
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_minhash_materialize_releases_cache(spark):
+    """ADVICE r2: repeated minhash calls must not accumulate persisted
+    shingle frames."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(50)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=1, k=8, bands=2, threshold=0.6
+        ).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # localCheckpoint blocks remain per returned result; the *shingle* persist
+    # must be gone — allow the two checkpointed results, nothing more
+    assert after - before <= 2, (before, after)
+
+
 def _hamming_hex(a: str, b: str) -> int:
     return bin(int(a, 16) ^ int(b, 16)).count("1")
 

@@ -74,14 +74,18 @@ def test_entry_smoke(spark):
 
 
 def test_fixture_files_current(tmp_path):
-    """The committed q27/q28 oracle fixtures must equal a fresh
-    simulator-derived regeneration (guards fixture drift)."""
+    """The committed oracle fixtures must equal a fresh regeneration from the
+    simulator / pure-Python hash reference (guards fixture drift)."""
     import pandas as pd
 
     from . import make_fixtures
 
     got = make_fixtures.write_all(str(tmp_path))
-    assert got == {"q27_crawl_order.parquet": 31, "q28_images.parquet": 36}
+    assert got == {
+        "q27_crawl_order.parquet": 31,
+        "q28_images.parquet": 36,
+        "q34_gram_hashes.parquet": 31 * make_fixtures.MINHASH_K,
+    }
     for name in got:
         fresh = pd.read_parquet(os.path.join(str(tmp_path), name))
         committed = pd.read_parquet(os.path.join(make_fixtures.FIXDIR, name))
