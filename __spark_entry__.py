@@ -281,7 +281,8 @@ def q24_ann_cosine_topk(spark, sf_dir):
 
 
 def q25_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path; recall vs q24 pytest-verified)."""
+    """LSH-bucketed ANN (scale path; recall vs q24 pytest-verified; fully
+    DuckDB-oracled — deterministic hyperplane constants inlined in SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries, dim=64, k=5, planes=16, bands=4)
@@ -294,7 +295,8 @@ def q32_embedding_neardup(spark, sf_dir):
 
 
 def q33_embedding_neardup_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup (scale path; recall pytest-verified vs q32).
+    """LSH-bucketed near-dup (scale path; recall pytest-verified vs q32;
+    fully DuckDB-oracled via inlined hyperplane constants).
 
     8-bit bands (planes/bands) keep bucket sizes ~n/256 so the candidate set
     stays far below all-pairs — 2-bit bands degenerate to a quadratic join."""
@@ -577,11 +579,13 @@ def oracle_sql() -> dict[str, str]:
             " list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) * 1000) AS BIGINT)"
             " AS sum_norm_x1000 FROM embeddings GROUP BY label"
         ),
-        # q18/q19: md5-family generated oracles below.
+        # q18/q19/q34: hash-family generated oracles below.
         # q21_lang_id, q22_quality_score: oracled below (generated).
-        # q25_ann_lsh_topk / q33: sign-sketch LSH over numpy-seeded
-        # hyperplanes — no DuckDB analog; recall pytest-verified vs the
-        # oracled exact variants (q24/q32).
+        # q25_ann_lsh_topk / q33: sign-sketch LSH oracles generated below —
+        # the hyperplanes are deterministic md5-derived constants
+        # (similarity._projection_vec), inlined into the SQL as double
+        # literals; the dot products are written as explicit left-assoc sums
+        # so DuckDB folds doubles in the same order Spark's aggregate() does.
         # q27/q28: oracled below against SIMULATOR-derived parquet fixtures
         # (tests/make_fixtures.py) — plus bit-exact engine-vs-simulator
         # parity in tests/test_crawl_parity.py.
@@ -682,6 +686,51 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents),"
         f" bs AS (SELECT did, {_sums} FROM tok GROUP BY did)"
         f" SELECT did, {_hexconcat} AS simhash_hex FROM bs"
+    )
+    # generated q25/q33 oracles: random-hyperplane sign sketch.  The
+    # projection vectors come from the same pure function the Spark side
+    # inlines as literals (md5-of-(plane,coord), no RNG state), so embedding
+    # them as SQL double literals is exact; repr() round-trips doubles.
+    from spiderman_spark.operators.similarity import _projection_vec
+
+    def _sketch_sql(dim: int, planes: int, vec: str = "embedding") -> str:
+        terms = []
+        for p in range(planes):
+            dot = " + ".join(
+                f"(CAST({vec}[{c + 1}] AS DOUBLE) * {v!r})"
+                for c, v in enumerate(_projection_vec(dim, p))
+            )
+            terms.append(
+                f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sql["q25_ann_lsh_topk"] = (
+        f"WITH sk AS (SELECT vec_id, embedding, ({_sketch_sql(64, 16)}) AS s"
+        " FROM embeddings), b(band) AS (VALUES (0),(1),(2),(3)),"
+        " cb AS (SELECT vec_id AS neighbor_id, embedding AS cv, band,"
+        "  (s >> (band*4)) & 15 AS bucket FROM sk CROSS JOIN b),"
+        " qb AS (SELECT vec_id AS query_id, embedding AS qv, band,"
+        "  (s >> (band*4)) & 15 AS bucket FROM sk CROSS JOIN b WHERE vec_id < 5),"
+        " cand AS (SELECT DISTINCT query_id, qv, neighbor_id, cv FROM cb"
+        "  JOIN qb USING (band, bucket) WHERE query_id <> neighbor_id),"
+        " scored AS (SELECT query_id, neighbor_id,"
+        "  CAST(round(list_cosine_similarity(qv, cv) * 10000) AS BIGINT) AS sim_x10k"
+        "  FROM cand)"
+        " SELECT query_id, neighbor_id, sim_x10k, rk FROM (SELECT *,"
+        "  row_number() OVER (PARTITION BY query_id ORDER BY sim_x10k DESC, neighbor_id) AS rk"
+        "  FROM scored) WHERE rk <= 5"
+    )
+    sql["q33_embedding_neardup_lsh"] = (
+        f"WITH sk AS (SELECT vec_id, embedding, ({_sketch_sql(64, 32)}) AS s"
+        " FROM embeddings), b(band) AS (VALUES (0),(1),(2),(3)),"
+        " bb AS (SELECT vec_id AS did, embedding AS vec, band,"
+        "  (s >> (band*8)) & 255 AS bucket FROM sk CROSS JOIN b),"
+        " cand AS (SELECT DISTINCT x.did AS id_a, x.vec AS va, y.did AS id_b,"
+        "  y.vec AS vb FROM bb x JOIN bb y USING (band, bucket) WHERE x.did < y.did)"
+        " SELECT id_a, id_b, sim_x10k FROM (SELECT id_a, id_b,"
+        "  CAST(round(list_cosine_similarity(va, vb) * 10000) AS BIGINT) AS sim_x10k"
+        "  FROM cand) WHERE sim_x10k >= 3500"
     )
     sql["q32_embedding_neardup"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
