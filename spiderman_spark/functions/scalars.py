@@ -131,6 +131,7 @@ def aes_encrypt_coded(
     Spark's CBC output prepends it — stripped here so ciphertexts interop.
     Our base64 is single-line RFC 4648 (the reference's ``encodebytes``
     wraps at 76 chars for long payloads)."""
+    _check_iv(mode, iv)
     ct = F.aes_encrypt(
         col.cast("binary"), F.lit(key), F.lit(mode), F.lit("PKCS"),
         F.lit(iv.encode() if iv else b""),
@@ -140,9 +141,21 @@ def aes_encrypt_coded(
     return F.base64(ct) if coding == "base64" else F.lower(F.hex(ct))
 
 
+def _check_iv(mode: str, iv: str) -> None:
+    """CBC without a caller IV would let Spark pick a random one that is then
+    stripped from the ciphertext — an unrecoverable round-trip.  Fail at call
+    time instead, mirroring the reference's required-IV contract
+    (`SP/utils/aes.py:49-59` passes iv into AES.new for CBC)."""
+    if mode == "CBC" and len(iv.encode()) != 16:
+        raise ValueError(
+            f"CBC mode requires a 16-byte IV (got {len(iv.encode())} bytes)"
+        )
+
+
 def aes_decrypt_coded(
     col: Column, key: str, mode: str = "ECB", coding: str = "base64", iv: str = ""
 ) -> Column:
+    _check_iv(mode, iv)
     raw = F.unbase64(col) if coding == "base64" else F.unhex(col)
     if mode == "CBC":
         raw = F.concat(F.lit(iv.encode()), raw)  # re-prepend the shared IV

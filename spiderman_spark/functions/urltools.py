@@ -39,10 +39,18 @@ def fingerprint(method: str, url: str, body: str = "") -> str:
     key.  Matches scrapy's request_fingerprint skeleton, which hashes the
     body too (`SP/utils/base.py:18-25` carries ``body`` on ScheduledRequest;
     `SP/spiders/SPRedisSpider.py:39-50` builds FormRequests from it): two
-    POSTs to one URL with different payloads are different requests."""
-    return hashlib.sha1(
-        f"{method}:{canonical(url)}:{body or ''}".encode()
-    ).hexdigest()
+    POSTs to one URL with different payloads are different requests.
+
+    Each component is length-prefixed before hashing (scrapy feeds them as
+    separate update() calls for the same reason): URLs legally contain the
+    would-be delimiter, so a joined string lets distinct (url, body) pairs
+    collide — e.g. ('http://h/a:b', '') vs ('http://h/a', 'b:')."""
+    h = hashlib.sha1()
+    for part in (method, canonical(url), body or ""):
+        b = part.encode()
+        h.update(len(b).to_bytes(8, "little"))
+        h.update(b)
+    return h.hexdigest()
 
 
 def urljoin(base: str, link: str) -> str:

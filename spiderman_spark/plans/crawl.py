@@ -146,7 +146,7 @@ class CrawlEngine:
         # destroyed) only on merge — constant executor memory over any number
         # of rounds instead of one bitmap copy leaked per round
         self._bloom_bc = None
-        self.bloom_broadcasts_destroyed = 0
+        self.bloom_broadcasts_dropped = 0
         self._pending_est = 0  # running upper bound on frontier size
         self._ckpt_path = os.path.join(workdir, "checkpoint.json")
         # fleet mode (plans/fleet.py): this engine owns hosts with
@@ -158,11 +158,17 @@ class CrawlEngine:
         self.handoff_exported = 0  # handoff drops written (for quiescence)
         self.handoff_consumed = 0  # handoff drops ingested
         self._ingested: set[str] = set()
+        self._round_caches: list = []  # per-round persisted frames to release
 
     def _drop_bloom_broadcast(self) -> None:
+        # unpersist, NOT destroy: DataFrames whose lineage embeds the probe
+        # UDF (gated/new_seen) may be recomputed after the merge (executor
+        # loss, cache eviction on a real cluster); unpersist frees executor
+        # copies now but lets the driver re-broadcast on demand, while
+        # destroy() would fail such recomputation permanently
         if self._bloom_bc is not None:
-            self._bloom_bc.destroy()
-            self.bloom_broadcasts_destroyed += 1
+            self._bloom_bc.unpersist()
+            self.bloom_broadcasts_dropped += 1
             self._bloom_bc = None
 
     def _bloom_probe(self):
@@ -215,6 +221,68 @@ class CrawlEngine:
                 self._drop_bloom_broadcast()
                 self.bloom = BloomSet(self.cfg.bloom)
         self._checkpoint()
+
+    def seed_from_df(
+        self,
+        seeds: DataFrame,
+        order_by: list[str],
+        preserve_state: bool = False,
+    ) -> int:
+        """DataFrame-native seeding — the scale path for patch crawls.
+
+        The patch anti-joins' output is proportional to *missing work*, which
+        at a 100 TB store can be millions of rows; routing it through the
+        driver as a Python list (``seed()``) caps patch size at driver memory.
+        Here seq is assigned distributed, via the two-phase range rank over
+        the caller-supplied deterministic ``order_by`` total order, and the
+        frontier table is written directly — no ``collect()`` anywhere.
+
+        ``seeds`` needs ``url`` plus optionally ``method``/``callback``/
+        ``req_body``/``meta_json`` (defaulted) and its ``order_by`` columns.
+        Returns the number of seeds enqueued."""
+        cfg = self.cfg
+        base = self.next_seq if preserve_state else 0
+        if not preserve_state:
+            for t in STATE_TABLES:
+                self.catalog.table(t).replace_empty()
+        defaults = {
+            "method": F.lit("GET"),
+            "callback": F.lit("list"),
+            "req_body": F.lit(""),
+            "meta_json": F.lit("{}"),
+        }
+        for c, d in defaults.items():
+            if c not in seeds.columns:
+                seeds = seeds.withColumn(c, d)
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        spart = ranks.range_prepare(seeds, order_by, nparts).persist()
+        offs, n = ranks.collect_offsets(spart)
+        rows = (
+            ranks.with_rank(spart, order_by, "_rk", offs, base=base)
+            .select(
+                (F.col("_rk") - 1).alias("seq"),
+                "url",
+                F.substring_index(
+                    F.substring_index("url", "://", -1), "/", 1
+                ).alias("host"),
+                "method", "callback", "req_body", "meta_json",
+                F.lit(0).alias("attempt"),
+            )
+        )
+        if preserve_state:
+            self.catalog.table("frontier").replace(self._sized(rows, n))
+            self.next_seq += n
+            self._pending_est = n
+        else:
+            self.catalog.table("frontier").replace(self._sized(rows, n))
+            self.round, self.next_seq, self.rank_base = 0, n, 0
+            self._pending_est = n
+            if self.bloom is not None:
+                self._drop_bloom_broadcast()
+                self.bloom = BloomSet(cfg.bloom)
+        spart.unpersist()
+        self._checkpoint()
+        return n
 
     def _checkpoint(self, lineage: dict | None = None) -> None:
         state = {
@@ -481,6 +549,9 @@ class CrawlEngine:
         tagged.unpersist()
         epart.unpersist()
         gated.unpersist()
+        for df in self._round_caches:  # fleet-mode _split_foreign cache
+            df.unpersist()
+        self._round_caches.clear()
         return n_eligible
 
     # ------------------------------------------------------------ fleet
@@ -495,6 +566,7 @@ class CrawlEngine:
         w, W = self.shard
         sh = shard_of_expr(F.col("host"), W, self.host_map)
         tagged = reqs.withColumn("_w", sh).persist()
+        self._round_caches.append(tagged)  # released at end of step()
         foreign = tagged.where(F.col("_w") != w)
         stage = os.path.join(self.fleet_dir, "handoff", "stage", uuid.uuid4().hex)
         (

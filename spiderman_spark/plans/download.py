@@ -189,7 +189,7 @@ class ImageDownloader:
         # single-partition window over what is the full job scan at scale)
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         tpart = ranks.range_prepare(todo, ["keyid"], nparts).persist()
-        toffs, _ = ranks.collect_offsets(tpart)
+        toffs, n_seeds = ranks.collect_offsets(tpart)  # total doubles as count
         seeds = (
             ranks.with_rank(tpart, ["keyid"], "_rk", toffs)
             .withColumn("seq", F.col("_rk").cast("long") - 1)
@@ -205,7 +205,6 @@ class ImageDownloader:
             )
         )
         self.catalog.table("dl_frontier").replace(seeds)
-        n_seeds = seeds.count()
         tpart.unpersist()
         self.round, self.rank_base = 0, 0
         self._checkpoint()

@@ -53,6 +53,61 @@ def missing_details(list_items: DataFrame, detail_items: DataFrame) -> DataFrame
     )
 
 
+def make_patch_seed_df(
+    spark: SparkSession,
+    list_items: DataFrame,
+    detail_items: DataFrame,
+    pages: int,
+    url_of_page,
+) -> DataFrame:
+    """Both patch jobs as ONE DataFrame with a deterministic order key — the
+    scale path (feed to ``CrawlEngine.seed_from_df(df, ["k0","k1","k2"])``).
+
+    The unbounded side (never-detailed rows, proportional to what the store
+    is missing) never leaves the cluster: its URLs come straight from the
+    ``detail_full_url`` column of the anti-join.  The missing-list-pages side
+    is bounded by the CLI ``-p pages`` argument (reference
+    `SP_JOBS/zhifang_job.py:45-56`), so its page→url literal map is
+    legitimately driver-sized.
+
+    Order key mirrors ``make_patch_seeds``: list seeds first (k0=0, by
+    pagenum), then detail seeds (k0=1, by (pagenum, pkey)).  ``meta_json`` is
+    built with the exact ``json.dumps`` spelling (keys are hex/digits — no
+    escaping needed) so the two seed paths are byte-identical."""
+    if pages >= 1:
+        page_url_map = F.create_map(
+            *[F.lit(x) for p in range(1, pages + 1) for x in (p, url_of_page(p))]
+        )
+        list_seeds = missing_list_pages(spark, list_items, pages).select(
+            F.lit(0).alias("k0"),
+            F.col("pagenum").alias("k1"),
+            F.lit("").alias("k2"),
+            page_url_map[F.col("pagenum")].alias("url"),
+            F.lit("list").alias("callback"),
+            F.concat(
+                F.lit('{"pagenum": "'), F.col("pagenum").cast("string"), F.lit('"}')
+            ).alias("meta_json"),
+        )
+    else:
+        list_seeds = spark.createDataFrame(
+            [],
+            "k0 int, k1 int, k2 string, url string, callback string,"
+            " meta_json string",
+        )
+    detail_seeds = missing_details(list_items, detail_items).select(
+        F.lit(1).alias("k0"),
+        F.col("pagenum").cast("int").alias("k1"),
+        F.col("pkey").alias("k2"),
+        F.col("detail_full_url").alias("url"),
+        F.lit("detail").alias("callback"),
+        F.concat(
+            F.lit('{"fkey": "'), F.col("pkey"),
+            F.lit('", "pagenum": "'), F.col("pagenum"), F.lit('"}'),
+        ).alias("meta_json"),
+    )
+    return list_seeds.unionByName(detail_seeds)
+
+
 def make_patch_seeds(
     spark: SparkSession,
     list_items: DataFrame,

@@ -119,7 +119,7 @@ def test_crawl_parity_with_bloom_prefilter(spark, workdir):
     assert_parity(engine, summary, ref)
     # broadcast lifecycle: superseded bitmap broadcasts are destroyed on merge
     # (no per-round leak) and at most one handle is ever live
-    assert engine.bloom_broadcasts_destroyed >= 1
+    assert engine.bloom_broadcasts_dropped >= 1
     # the engine's merged bitmap equals a fresh build over the final url_seen
     rebuilt = BloomSet(engine.cfg.bloom)
     rebuilt.add_many([r["fp"] for r in engine.url_seen().collect()])

@@ -239,6 +239,42 @@ def test_aes_modes_roundtrip_and_reference_demo(spark):
     assert isinstance(urls, list) and urls and all(u.endswith(".jpg") for u in urls)
 
 
+def test_aes_cbc_requires_iv():
+    """ADVICE r2: CBC with a missing/short IV must fail at call time — Spark
+    would otherwise pick a random IV that the coder strips, silently
+    producing an unrecoverable ciphertext."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spiderman_spark.functions import scalars as S
+
+    for fn in (S.aes_encrypt_coded, S.aes_decrypt_coded):
+        with pytest.raises(ValueError, match="16-byte IV"):
+            fn(F.lit("x"), "123456781234567G", "CBC", "base64", "")
+        with pytest.raises(ValueError, match="16-byte IV"):
+            fn(F.lit("x"), "123456781234567G", "CBC", "hex", "short")
+
+
+def test_fingerprint_components_are_delimited():
+    """ADVICE r2: ':'-joining lets distinct (url, body) pairs collide because
+    URLs legally contain ':' — length-prefixed components must not."""
+    from spiderman_spark.functions.urltools import fingerprint
+
+    assert fingerprint("GET", "http://h/a:b", "") != fingerprint(
+        "GET", "http://h/a", "b:"
+    )
+    assert fingerprint("GET", "http://h/a", "b") != fingerprint(
+        "GEThttp", "://h/a", "b"
+    )
+    # determinism + body sensitivity retained
+    assert fingerprint("POST", "http://h/x", "p=1") == fingerprint(
+        "POST", "http://h/x", "p=1"
+    )
+    assert fingerprint("POST", "http://h/x", "p=1") != fingerprint(
+        "POST", "http://h/x", "p=2"
+    )
+
+
 def test_connector_frame_seams(spark):
     """S8/S9/S10/S13 frame shapes mirror the reference pipelines' per-item
     dicts (cells/doc/bulk-action/stream-load row), audit fields included,
