@@ -593,7 +593,7 @@ def oracle_sql() -> dict[str, str]:
     _fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
     sql["q27_crawl_order"] = (
         "SELECT CAST(rank AS BIGINT) AS rank, CAST(round AS INT) AS round,"
-        " url, host, CAST(attempt AS INT) AS attempt"
+        " url, host, CAST(attempt AS INT) AS attempt, ua, cookie"
         f" FROM read_parquet('{_fix}/q27_crawl_order.parquet')"
     )
     sql["q28_image_download"] = (

@@ -314,22 +314,44 @@ def _scratch_base() -> str:
     return tempfile.gettempdir()
 
 
+def calibration_probe() -> float:
+    """Fixed CPU-bound job at fixed parallelism — a drift CONTROL, run
+    between scaling legs so machine state is measured, not assumed (the
+    round-2 verdict's requirement for making single-pair efficiencies
+    interpretable: this sandbox has shown ~14× throughput drift between
+    identical runs).  Pure JVM hash+sum over a fixed range at local[8];
+    returns wall seconds (higher = slower machine window)."""
+    spark = make_session(8, "calibration-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.range(1_000_000).selectExpr("sum(xxhash64(id))").collect()  # warm
+        t0 = time.perf_counter()
+        spark.range(600_000_000).selectExpr("sum(xxhash64(id))").collect()
+        return round(time.perf_counter() - t0, 2)
+    finally:
+        spark.stop()
+
+
 def bench_scaling(full: bool = False) -> dict:
     """North-rule N→4N evidence protocols (no real cluster in the sandbox).
 
-    PRIMARY (always run): the crawl frontier loop on the BENCH_XL corpus
-    (5.05M URLs, 1024 uniform hosts, ~1.1M pages over 5 BFS rounds) at
-    local[8] (N cores) vs local[32] (4N cores), same seeds/budget, engine
-    state + shuffle on tmpfs (see _scratch_base).  This is the same-job,
-    two-parallelism-levels measurement the driver asks for; BENCH/BASELINE.md
-    records the result next to the full cross-protocol measurement study
-    (thread scaling, executor-process fleet, CPU pinning, payload pipeline)
-    and the phase-level Amdahl decomposition.
+    PRIMARY: paired-interleaved legs (round-2 verdict #1).  The crawl
+    frontier loop on the BENCH_XL corpus (5.05M URLs, 1024 uniform hosts,
+    ~1.1M pages over 5 BFS rounds) alternating local[8] → local[32] →
+    local[8] → … for ``SPARK_GRAFT_SCALING_PAIRS`` (default 4) adjacent
+    pairs, same seeds/budget every leg, engine state + shuffle on tmpfs.
+    Each adjacent (8, 32) pair yields one efficiency; the MEDIAN of pairs is
+    the reported number, and a fixed calibration probe between legs records
+    machine drift so a noisy window is visible in the data instead of argued
+    about.  BENCH/BASELINE.md gets the per-pair table + probe series next to
+    the cross-protocol measurement study.
 
     ``full=True`` additionally re-runs the executor-process protocols
     (CrawlFleet 1x8 vs 4x8 worker JVMs; image pipeline 1x8 vs 4x8 shard
     JVMs) — ~25 extra minutes.
     """
+    from statistics import median
+
     from spiderman_spark import corpusgen as cg
     from spiderman_spark import simulator as sim
 
@@ -340,19 +362,43 @@ def bench_scaling(full: bool = False) -> dict:
 
     spec = cg.BENCH_XL
     seeds = sim.make_seeds(spec)
-    out = {"crawl_xl": {}}
-    for cores, tag in ((8, "N"), (32, "4N")):
-        spark = make_session(cores, f"scaling-{cores}")
-        spark.sparkContext.setLogLevel("ERROR")
-        path = ensure_bench_corpus(spark, spec)
-        out["crawl_xl"][tag] = run_crawl(spark, path, seeds, budget=10**6)
-        out["crawl_xl"][tag]["cores"] = cores
-        spark.stop()
-    eff = (
-        out["crawl_xl"]["4N"]["pages_per_sec"]
-        / out["crawl_xl"]["N"]["pages_per_sec"]
-    ) / 4
-    out["crawl_scaling_efficiency"] = round(eff, 3)
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "4"))
+    legs, probes = [], [calibration_probe()]
+    for pair in range(pairs):
+        for cores in (8, 32):
+            spark = make_session(cores, f"scaling-p{pair}-c{cores}")
+            spark.sparkContext.setLogLevel("ERROR")
+            path = ensure_bench_corpus(spark, spec)
+            leg = run_crawl(spark, path, seeds, budget=10**6)
+            leg.update({"cores": cores, "pair": pair})
+            legs.append(leg)
+            spark.stop()
+            probes.append(calibration_probe())
+    pair_effs = [
+        round((legs[2 * i + 1]["pages_per_sec"] / legs[2 * i]["pages_per_sec"]) / 4, 3)
+        for i in range(pairs)
+    ]
+    med = round(median(pair_effs), 3)
+    probe_drift = round(max(probes) / min(probes), 2)
+    spread = round(max(pair_effs) - min(pair_effs), 3)
+    if med >= 0.8:
+        verdict = "met"
+    elif probe_drift <= 1.3 and spread <= 0.15:
+        verdict = "not_met_decidable"
+    else:
+        verdict = "not_met_undecidable"
+    out = {
+        "crawl_xl": {
+            "legs": legs,
+            "pair_efficiencies": pair_effs,
+            "median_efficiency": med,
+            "spread": spread,
+            "calibration_probes_sec": probes,
+            "probe_drift_ratio": probe_drift,
+            "verdict": verdict,
+        }
+    }
+    out["crawl_scaling_efficiency"] = med
 
     if full:
         from spiderman_spark.plans import fleet as fleetmod
@@ -394,42 +440,72 @@ def bench_scaling(full: bool = False) -> dict:
 
 def _write_baseline_md(out: dict) -> None:
     cx = out["crawl_xl"]
+    med = cx["median_efficiency"]
+    verdict_text = {
+        "met": (
+            f"**The ≥0.8 N→4N scaling-efficiency criterion is MET: median of "
+            f"{len(cx['pair_efficiencies'])} interleaved pairs = {med}.**"
+        ),
+        "not_met_decidable": (
+            f"**The ≥0.8 N→4N scaling-efficiency criterion is NOT met on this "
+            f"sandbox, and the interleaved protocol makes that DECIDABLE: the "
+            f"median of {len(cx['pair_efficiencies'])} adjacent pairs is "
+            f"{med} with pair spread {cx['spread']} and calibration-probe "
+            f"drift ratio {cx['probe_drift_ratio']}× — the measurement is "
+            f"stable, so the gap is real on this machine** (one shared JVM "
+            f"thread-scaling, not plan structure — see study S2/S5)."
+        ),
+        "not_met_undecidable": (
+            f"**The ≥0.8 N→4N scaling-efficiency criterion is NOT met by the "
+            f"median ({med}), but the interleaved protocol shows the sandbox "
+            f"cannot decide it: pair efficiencies span {cx['spread']} and the "
+            f"fixed calibration probe drifted {cx['probe_drift_ratio']}× "
+            f"between legs — machine noise exceeds the distance to the "
+            f"criterion.**"
+        ),
+    }[cx["verdict"]]
+    pair_rows = "\n".join(
+        f"| {i} | {legN['pages']} | {legN['sec']:.1f} | {legN['pages_per_sec']:.0f} "
+        f"| {leg4['sec']:.1f} | {leg4['pages_per_sec']:.0f} | {eff} |"
+        for i, (legN, leg4, eff) in enumerate(
+            zip(cx["legs"][::2], cx["legs"][1::2], cx["pair_efficiencies"])
+        )
+    )
+    probe_series = " → ".join(f"{p:.1f}s" for p in cx["calibration_probes_sec"])
     md = f"""# BENCH — N→4N scaling evidence + measurement study
 
 ## Criterion verdict (honest)
 
-**The ≥0.8 N→4N scaling-efficiency criterion is NOT met by fresh
-measurements on this sandbox** (latest primary-protocol result:
-**{out['crawl_scaling_efficiency']}**).  The study below shows why the
-*sandbox machine* — not the engine's plan structure — is the binding
-constraint: a single ~6 MB/s shared disk for incompressible writes, a
-one-JVM thread-scaling ceiling on Python/Arrow stages, up to ~5-7×
-machine-throughput drift between identical runs, and degradation when
-multiple Spark JVMs are co-resident **even with disjoint pinned CPU sets and
-tmpfs state**.  The engine-side facts that the criterion is meant to probe
-are demonstrated directly instead: no single-partition exchange anywhere in
-a round (asserted in tests/test_ranks.py), O(1) per-round driver barrier
-(~4.7 s measured, independent of round size), broadcast/bucketed/salted
-plans, and a shared-nothing multi-worker fleet whose only cross-worker state
-is append-only handoff files.  At the north rule's 10^7-10^8-page rounds the
-measured barrier is <1% of round time, predicting ≥0.95 efficiency on
-hardware whose disks and cores scale with executors.
+{verdict_text}
 
-## Protocol A (primary): crawl frontier loop, N=local[8] vs 4N=local[32]
+The engine-side facts the criterion is meant to probe are demonstrated
+directly and CI-asserted: no single-partition exchange anywhere in a round
+(tests/test_ranks.py), O(1) per-round driver barrier (~4.7 s measured,
+independent of round size), broadcast/bucketed/salted plans, and a
+shared-nothing multi-worker fleet whose only cross-worker state is
+append-only handoff files.  At the north rule's 10^7-10^8-page rounds the
+measured barrier is <1% of round time, predicting ≥0.95 efficiency on
+hardware whose disks and cores scale with executors (study S5).
+
+## Protocol A (primary): paired-interleaved crawl legs, local[8] ⇄ local[32]
 
 BENCH_XL corpus: 5.05M URLs, 1024 uniform hosts, ~1.107M pages over 5 BFS
-rounds; same seed list + politeness budget both legs; engine state + shuffle
-on tmpfs (this machine's one shared disk writes incompressible data at
-~6 MB/s — measured 256 MB random in 41.6 s vs 0.19 s for zeros — so disk-
-backed state measures the hypervisor's write throttle, not the engine; a
-real cluster's disk bandwidth is per-node and scales with executors).
+rounds; identical seed list + politeness budget every leg; engine state +
+shuffle on tmpfs (this machine's one shared disk writes incompressible data
+at ~6 MB/s — measured 256 MB random in 41.6 s vs 0.19 s for zeros — so
+disk-backed state measures the hypervisor's write throttle, not the engine).
+Legs alternate 8 → 32 → 8 → 32 …; each adjacent pair yields one efficiency;
+a fixed CPU-bound calibration job (sum(xxhash64) over 6e8 rows at local[8])
+runs between legs as the drift control.
 
-| cluster size | cores | pages | rounds | wall sec | pages/sec |
-|---|---|---|---|---|---|
-| N | {cx['N']['cores']} | {cx['N']['pages']} | {cx['N']['rounds']} | {cx['N']['sec']:.1f} | {cx['N']['pages_per_sec']:.0f} |
-| 4N | {cx['4N']['cores']} | {cx['4N']['pages']} | {cx['4N']['rounds']} | {cx['4N']['sec']:.1f} | {cx['4N']['pages_per_sec']:.0f} |
+| pair | pages | N=8 wall s | N pages/s | 4N=32 wall s | 4N pages/s | efficiency |
+|---|---|---|---|---|---|---|
+{pair_rows}
 
-**crawl scaling_efficiency = {out['crawl_scaling_efficiency']}** (target ≥0.8 — not met; see study)
+**median efficiency = {med}** (pairs: {cx['pair_efficiencies']}, spread {cx['spread']})
+
+Calibration probe series (same fixed job, between legs):
+{probe_series} — drift ratio {cx['probe_drift_ratio']}×.
 """
     if "fleet" in out:
         fl, im = out["fleet"], out["image"]

@@ -67,7 +67,10 @@ FRONTIER_DDL = (
     " req_body string, meta_json string, attempt int"
 )
 URL_SEEN_DDL = "fp string, url_hash long, url string"
-CRAWL_ORDER_DDL = "rank long, round int, url string, host string, attempt int"
+CRAWL_ORDER_DDL = (
+    "rank long, round int, url string, host string, attempt int,"
+    " ua string, cookie string"
+)
 FAILED_DDL = "url string, reason string, attempt int, round int"
 METRICS_DDL = "round int, host string, n long"
 
@@ -112,6 +115,15 @@ class CrawlConfig:
     # ORDER is ever observed) — but needs NO second offsets action per round.
     # Must exceed the max children one page can emit.
     child_stride: int = 1 << 20
+    # U3 middleware (`SP/middlewares/SPMiddleWare.py:40-133`; headers/cookies
+    # Redis keys `SP_JOBS/job.py:42-45`): UA/cookie rotation + fixed headers
+    # stamped as columns on the eligible batch before the fetch join.
+    # Deterministic rotation (F13) replaces random.choice so reruns and the
+    # simulator reproduce the same pick; the tiny config lists become plan
+    # literals — the Spark analogue of broadcasting the headers/cookies maps.
+    user_agents: list | None = None
+    cookies: list | None = None
+    default_headers: dict | None = None
 
 
 class CrawlEngine:
@@ -358,9 +370,10 @@ class CrawlEngine:
             return 0
         self.round += 1
 
-        ranked = ranks.with_rank(
-            epart, ["seq"], "rank", eoffs, base=self.rank_base
-        ).drop("_pid")
+        ranked = self._with_middleware(
+            ranks.with_rank(epart, ["seq"], "rank", eoffs, base=self.rank_base)
+            .drop("_pid")
+        )
 
         # fetch = join the small per-round batch INTO the big corpus scan
         use_bc = (
@@ -501,7 +514,10 @@ class CrawlEngine:
         # ---- commit the round: all five state writes run concurrently
         # (independent tables → independent manifests; Spark schedules the
         # jobs in parallel), then checkpoint
-        order_rows = ranked.select("rank", F.lit(self.round).alias("round"), "url", "host", "attempt")
+        order_rows = ranked.select(
+            "rank", F.lit(self.round).alias("round"), "url", "host", "attempt",
+            "ua", "cookie",
+        )
         items = parsed.where("out_kind = 'item'")
 
         n_items_est = n_eligible * 8  # pages emit a handful of items each
@@ -553,6 +569,42 @@ class CrawlEngine:
             df.unpersist()
         self._round_caches.clear()
         return n_eligible
+
+    # ------------------------------------------------------------ middleware
+
+    def _with_middleware(self, batch: DataFrame) -> DataFrame:
+        """U3: stamp per-request ``ua``/``cookie``/``headers_json`` columns
+        onto the eligible batch before the fetch join (the reference mutates
+        each Request in the downloader middleware chain,
+        `SP/middlewares/SPMiddleWare.py:40-133`, reading headers/cookies the
+        job pushed to Redis, `SP_JOBS/job.py:42-45`).  The fetch stage and
+        crawl_order lineage see the stamped values; rotation is the
+        deterministic F13 pick, mirrored driver-side by the simulator."""
+        import json as _json
+
+        from ..functions.scalars import pick_rotating
+
+        cfg = self.cfg
+        ua = (
+            pick_rotating(list(cfg.user_agents), F.col("url"))
+            if cfg.user_agents
+            else F.lit("")
+        )
+        cookie = (
+            pick_rotating(list(cfg.cookies), F.col("url"))
+            if cfg.cookies
+            else F.lit("")
+        )
+        headers = (
+            F.lit(_json.dumps(cfg.default_headers, sort_keys=True))
+            if cfg.default_headers
+            else F.lit("")
+        )
+        return (
+            batch.withColumn("ua", ua)
+            .withColumn("cookie", cookie)
+            .withColumn("headers_json", headers)
+        )
 
     # ------------------------------------------------------------ fleet
 

@@ -24,7 +24,16 @@ Equivalence contract (tested at UNIT scale): the fleet's fetched-URL multiset,
 url_seen set, item multiset, and failed set equal the single-engine crawl's.
 Global FIFO *order* is only defined per worker — exactly as in the reference,
 where N scrapy processes pop from one Redis list in racy order
-(`README.md:103` BFS is per-process there too).
+(`README.md:103` BFS is per-process there too).  Even under lockstep round
+alternation a worker's order is NOT the single-engine order filtered to its
+hosts: a child exported by a peer lands in the inbox one alternation later
+than local children of the same BFS round, so when its parent's global rank
+precedes the local parents', the filtered orders diverge — the same race a
+late RPUSH from a sibling scrapy process exhibits upstream.  What IS
+guaranteed (and tested): per-worker runs are bit-deterministic for a fixed
+alternation schedule, seeds are fetched in routed order, children of one
+parent stay in DOM order, and a parent's fetch precedes all its children
+(BFS causality).
 
 Scale posture: adding workers multiplies frontier capacity with no shared
 mutable state beyond append-only handoff files; each worker's per-round
@@ -165,6 +174,30 @@ def run_worker(
         os.replace(tmp, status_path)
         if n == 0 and ingested == 0:
             if os.path.exists(stop_path):
+                # final sweep (consistent-cut belt-and-braces): a last-instant
+                # export may have landed in the inbox between the poll that
+                # published our idle status and the coordinator's STOP —
+                # drain it to completion before exiting so no page is lost
+                while engine.ingest_handoff():
+                    fetched = engine.step()
+                    while fetched:
+                        total += fetched
+                        fetched = engine.step()
+                tmp = status_path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(
+                        {
+                            "worker": worker,
+                            "rounds": engine.round,
+                            "fetched": total,
+                            "idle": idle,
+                            "consumed": engine.handoff_consumed,
+                            "exported": engine.handoff_exported,
+                            "final": True,
+                        },
+                        fh,
+                    )
+                os.replace(tmp, status_path)
                 break
             time.sleep(STATUS_POLL_S)
     spark.stop()
@@ -184,9 +217,19 @@ def _statuses(fleet_dir: str, workers: int) -> list[dict]:
 
 
 def coordinate(fleet_dir: str, workers: int, idle_polls: int = 3, procs=None) -> None:
-    """Poll worker statuses; create STOP when the fleet is globally quiescent:
-    every worker idle >= idle_polls and every exported handoff file consumed.
-    If a worker process dies early, kill the rest and raise."""
+    """Poll worker statuses; create STOP when the fleet is globally quiescent.
+
+    Quiescence is a CONSISTENT CUT, not a single racy snapshot: status files
+    are stale by up to one Spark round, so "all idle and exported==consumed"
+    can hold momentarily while a worker is mid-round (its renamed-but-
+    unpublished export offset by an already-published consumption elsewhere).
+    Requiring TWO consecutive polls with *unchanged* per-worker (rounds,
+    exported, consumed) counters — and the idle/balance predicate in both —
+    rules that out: any in-flight round publishes a counter change between
+    the polls.  Workers additionally run a final ingest sweep after observing
+    STOP (run_worker).  If a worker process dies early, kill the rest and
+    raise."""
+    prev = None
     while True:
         if procs is not None:
             dead = [i for i, p in enumerate(procs) if p.poll() is not None]
@@ -204,9 +247,16 @@ def coordinate(fleet_dir: str, workers: int, idle_polls: int = 3, procs=None) ->
             all_idle = all(s["idle"] >= idle_polls for s in sts)
             exported = sum(s["exported"] for s in sts)
             consumed = sum(s["consumed"] for s in sts)
-            if all_idle and exported == consumed:
+            snap = tuple(
+                (s["rounds"], s["exported"], s["consumed"]) for s in sts
+            )
+            quiet = all_idle and exported == consumed
+            if quiet and prev == snap:
                 open(os.path.join(fleet_dir, "STOP"), "w").close()
                 return
+            prev = snap if quiet else None
+        else:
+            prev = None
         time.sleep(STATUS_POLL_S)
 
 
@@ -263,8 +313,20 @@ def run_fleet(
     pin_cpus: bool = False,
 ) -> dict:
     """Coordinator: route seeds, spawn W worker processes (each its own
-    8-core JVM — the executor-emulation unit), wait for quiescence."""
+    8-core JVM — the executor-emulation unit), wait for quiescence.
+
+    A reused ``fleet_dir`` is reset first: a stale STOP file would terminate
+    the new fleet instantly, stale status files satisfy the quiescence
+    predicate for workers that no longer exist, and stale handoff drops would
+    be re-ingested as new work."""
     os.makedirs(fleet_dir, exist_ok=True)
+    import shutil
+
+    stop = os.path.join(fleet_dir, "STOP")
+    if os.path.exists(stop):
+        os.remove(stop)
+    for sub in ("status", "handoff"):
+        shutil.rmtree(os.path.join(fleet_dir, sub), ignore_errors=True)
     route_seeds(spark, fleet_dir, seeds, workers, host_map)
     root = repo_root or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -89,10 +89,17 @@ def simulate_crawl(
     parse_fn=None,
     page_callbacks: tuple = ("list", "detail"),
     robots_rules: dict | None = None,
+    middleware: dict | None = None,
 ) -> SimResult:
     """Run the scrapy-redis deterministic skeleton to frontier exhaustion.
 
     ``corpus``: url -> corpus_row dict.  ``seeds``: ordered request dicts.
+
+    ``middleware`` (U3 mirror): optional ``{"user_agents": [...],
+    "cookies": [...]}`` — when given, every crawl_order tuple gains
+    ``(ua, cookie)`` picked with the same deterministic xxhash64 rotation the
+    engine stamps pre-fetch (``functions.xxh64.pick_rotating`` ==
+    ``scalars.pick_rotating``); without it tuples keep their 5-ary shape.
     """
     pol = politeness or Politeness()
     cbs = callbacks if callbacks is not None else DEFAULT_CALLBACKS
@@ -154,7 +161,20 @@ def simulate_crawl(
         for req in eligible:
             host = host_of(req.url)
             rank += 1
-            crawl_order.append((rank, rnd, req.url, host, req.attempt))
+            if middleware is None:
+                crawl_order.append((rank, rnd, req.url, host, req.attempt))
+            else:
+                from .functions.xxh64 import pick_rotating as _pick
+
+                uas = middleware.get("user_agents") or []
+                cks = middleware.get("cookies") or []
+                crawl_order.append(
+                    (
+                        rank, rnd, req.url, host, req.attempt,
+                        _pick(uas, req.url) if uas else "",
+                        _pick(cks, req.url) if cks else "",
+                    )
+                )
             fetch_counts[(rnd, host)] = fetch_counts.get((rnd, host), 0) + 1
             row = corpus.get(req.url)
             ok = (

@@ -50,6 +50,9 @@ def q27_expected() -> pd.DataFrame:
     df = pd.DataFrame(
         ref.crawl_order, columns=["rank", "round", "url", "host", "attempt"]
     )
+    # q27's config carries no U3 middleware: the engine stamps empty ua/cookie
+    df["ua"] = ""
+    df["cookie"] = ""
     return df.astype(
         {"rank": "int64", "round": "int32", "attempt": "int32"}
     )

@@ -54,6 +54,47 @@ DEMO_CBS = {"list": True, "detail": True}  # zhifang defaults (dont_filter)
 DEDUP_CBS = {"list": True, "detail": False}  # exercises the D1 dedup gate
 
 
+def test_middleware_columns_parity(spark, workdir):
+    """U3 (VERDICT r2 #7): UA/cookie rotation columns stamped on the fetch
+    batch must match the simulator's driver-side mirror per fetched request,
+    and the headers broadcast reaches the batch."""
+    uas = ["UA-alpha/1.0", "UA-beta/2.0", "UA-gamma/3.0"]
+    cks = ["sid=a1; theme=d", "sid=b2; theme=l"]
+    corpus_df = cg.build_crawl_corpus(spark, cg.UNIT)
+    engine = CrawlEngine(
+        spark, corpus_df, workdir,
+        CrawlConfig(
+            callbacks=dict(DEDUP_CBS), default_budget=4,
+            user_agents=uas, cookies=cks,
+            default_headers={"Accept": "text/html", "Referer": "http://x"},
+        ),
+    )
+    seeds = sim.make_seeds(cg.UNIT)
+    engine.seed(seeds)
+    engine.run()
+    ref = sim.simulate_crawl(
+        sim.corpus_as_dict(cg.UNIT), seeds,
+        politeness=sim.Politeness(max_per_round=4),
+        callbacks={**DEDUP_CBS, "file": False},
+        middleware={"user_agents": uas, "cookies": cks},
+    )
+    got = [
+        (r["rank"], r["round"], r["url"], r["host"], r["attempt"], r["ua"], r["cookie"])
+        for r in engine.crawl_order().orderBy("rank").collect()
+    ]
+    assert got == ref.crawl_order
+    assert {u for *_, u, _ in got} == set(uas)  # rotation actually rotates
+    # headers column is visible on the stamped batch expression
+    from pyspark.sql import functions as F
+
+    stamped = engine._with_middleware(
+        spark.createDataFrame([("http://h0.example.test/list/1",)], "url string")
+    )
+    row = stamped.collect()[0]
+    assert row["headers_json"] == '{"Accept": "text/html", "Referer": "http://x"}'
+    assert row["ua"] in uas and row["cookie"] in cks
+
+
 @pytest.mark.parametrize("callbacks", [DEMO_CBS, DEDUP_CBS], ids=["demo", "dedup"])
 def test_unit_scale_parity(spark, workdir, callbacks):
     engine, summary, ref = run_pair(spark, workdir, cg.UNIT, callbacks, budget=3)

@@ -111,6 +111,116 @@ def test_fleet_two_workers_equals_single_engine(spark, workdir):
         assert sorted(f_rows) == sorted(s_rows), tb
 
 
+def _run_lockstep_fleet(spark, fd, workers=2, budget=4):
+    """In-process W-worker fleet driven by deterministic round alternation;
+    returns the engines after quiescence."""
+    corpus = cg.build_crawl_corpus(spark, SPEC)
+    seeds = sim.make_seeds(SPEC)
+    os.makedirs(fd, exist_ok=True)
+    engines = [
+        CrawlEngine(
+            spark, corpus, os.path.join(fd, f"worker{w}"),
+            CrawlConfig(callbacks=dict(CBS), default_budget=budget),
+            shard=(w, workers), fleet_dir=fd,
+        )
+        for w in range(workers)
+    ]
+    for e, sds in zip(engines, _shard_seeds(spark, seeds, workers)):
+        e.seed(sds)
+    for _ in range(200):
+        progressed = 0
+        for e in engines:
+            progressed += e.ingest_handoff()
+            progressed += e.step()
+        exported = sum(e.handoff_exported for e in engines)
+        consumed = sum(e.handoff_consumed for e in engines)
+        if progressed == 0 and exported == consumed:
+            return engines
+    pytest.fail("fleet did not quiesce")
+
+
+def test_fleet_per_worker_order_contract(spark, workdir):
+    """VERDICT r2 #8 — the per-worker FIFO contract claimed in
+    plans/fleet.py, as actually guaranteed:
+
+    1. determinism: two runs under the same alternation schedule produce
+       bit-identical per-worker crawl_order sequences;
+    2. seeds fetch in routed order (each worker's seed ranks are FIFO);
+    3. BFS causality: every fetched child's parent page was fetched at an
+       earlier per-worker rank;
+    4. children of one parent keep DOM (child_idx) order.
+
+    (Strict equality with the single-engine order filtered per shard does
+    NOT hold — a peer's export lands one alternation late, the same race N
+    scrapy workers have on the shared Redis list; see fleet.py docstring.)"""
+    runs = []
+    for tag in ("a", "b"):
+        engines = _run_lockstep_fleet(spark, os.path.join(workdir, f"fleet-{tag}"))
+        runs.append(
+            [
+                [
+                    (r["rank"], r["round"], r["url"], r["attempt"])
+                    for r in e.crawl_order().orderBy("rank").collect()
+                ]
+                for e in engines
+            ]
+        )
+    assert runs[0] == runs[1]  # bit-deterministic per worker
+
+    seeds = sim.make_seeds(SPEC)
+    routed = _shard_seeds(spark, seeds, 2)
+    for w, order in enumerate(runs[0]):
+        urls = [u for _, _, u, _ in order]
+        # first fetch position per url (later occurrences are retries)
+        first_pos = {u: i for i, u in reversed(list(enumerate(urls)))}
+        # 2. routed seeds appear in order among the worker's fetches
+        positions = [first_pos[s["url"]] for s in routed[w]]
+        assert positions and positions == sorted(positions)
+        # 3+4. every detail's parent list page (when fetched on this worker)
+        # precedes it, and a parent's details keep DOM (j) order
+        by_parent: dict = {}
+        by_parent_host: dict = {}
+        for u, i in first_pos.items():
+            if "/detail/" in u:
+                host = u.split("/", 3)[2]
+                p, j = u.rsplit("/", 2)[-2:]
+                by_parent.setdefault(p, []).append(i)
+                # DOM order is only total per (parent, host): politeness may
+                # defer a saturated host's low-j child past another host's
+                by_parent_host.setdefault((p, host), []).append((i, int(j)))
+        parent_pos = {
+            u.rsplit("/", 1)[-1]: i for u, i in first_pos.items() if "/list/" in u
+        }
+        checked = 0
+        for p, kid_positions in by_parent.items():
+            if p in parent_pos:
+                assert parent_pos[p] < min(kid_positions)
+                checked += 1
+        assert checked > 0
+        for kids in by_parent_host.values():
+            kids.sort()
+            assert [j for _, j in kids] == sorted(j for _, j in kids)
+
+
+def test_fleet_dir_reuse_is_reset(spark, workdir):
+    """ADVICE r2 (medium): a second run_fleet over the SAME fleet_dir must
+    clear the stale STOP/status/handoff state instead of aborting or
+    double-ingesting."""
+    corpus_path = os.path.join(workdir, "corpus")
+    cg.build_crawl_corpus(spark, SPEC).write.mode("overwrite").parquet(corpus_path)
+    fd = os.path.join(workdir, "fleet")
+    r1 = fleet.run_fleet(
+        spark, fd, corpus_path, sim.make_seeds(SPEC),
+        workers=2, cores_per_worker=2, budget=8, callbacks=dict(CBS),
+    )
+    assert os.path.exists(os.path.join(fd, "STOP"))
+    r2 = fleet.run_fleet(
+        spark, fd, corpus_path, sim.make_seeds(SPEC),
+        workers=2, cores_per_worker=2, budget=8, callbacks=dict(CBS),
+    )
+    assert r2["fetched"] == r1["fetched"]
+
+
 def test_fleet_subprocess_coordinator(spark, workdir, tmp_path):
     """End-to-end: real worker processes (own JVMs) + coordinator quiescence.
     Small corpus, 2 workers x 2 cores."""

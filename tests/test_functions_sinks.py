@@ -239,6 +239,47 @@ def test_aes_modes_roundtrip_and_reference_demo(spark):
     assert isinstance(urls, list) and urls and all(u.endswith(".jpg") for u in urls)
 
 
+def test_jdbc_derby_live_roundtrip(spark):
+    """S6 un-gated (VERDICT r2 #6): a REAL JDBC transport round-trip against
+    Apache Derby, embedded in the Spark JVM via the jars PySpark bundles —
+    write_jdbc appends with the reference pipeline's audit frame
+    (`pipelines_rdbm.py:34-105`), read back through the same driver."""
+    from pyspark.sql import functions as F
+
+    from spiderman_spark.sources.sinks import (
+        cleanse,
+        project_items,
+        split_poison,
+        with_audit,
+        write_jdbc,
+    )
+
+    url = "jdbc:derby:memory:s6db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    raw = spark.createDataFrame(
+        [("t1", " loc\x01 one ", "500"), ("t2", "loc two", "x" * 300)],
+        "title string, location string, price string",
+    )
+    frame = with_audit(
+        cleanse(project_items(raw, ["title", "location", "price"])),
+        "20240101", "2024-01-01 00:00:00", "zhifang",
+    )
+    ok, poison = split_poison(frame)
+    assert poison.count() == 1  # the 300-char price row
+    write_jdbc(ok, url, "zhifang_list", mode="overwrite", **props)
+    write_jdbc(ok, url, "zhifang_list", mode="append", **props)  # bucketed appends
+    back = spark.read.jdbc(url, "zhifang_list", properties=props)
+    assert back.count() == 2
+    rows = back.collect()
+    assert {r["title"] for r in rows} == {"t1"}
+    assert all(r["location"] == "loc one" for r in rows)  # cleansed
+    assert sorted(back.columns) == sorted(
+        ["keyid", "title", "location", "price", "bizdate", "ctime", "spider"]
+    )
+    # per-row audit keyid is deterministic: both appends share it
+    assert len({r["keyid"] for r in rows}) == 1
+
+
 def test_aes_cbc_requires_iv():
     """ADVICE r2: CBC with a missing/short IV must fail at call time — Spark
     would otherwise pick a random IV that the coder strips, silently

@@ -30,8 +30,9 @@ def test_crawl_kill_resume_bit_identical(spark, workdir):
     # torn write: a crash mid-round leaves appends past the checkpoint
     engine.catalog.table("crawl_order").append(
         spark.createDataFrame(
-            [(12345, 777, "http://torn/x", "torn", 0)],
-            "rank long, round int, url string, host string, attempt int",
+            [(12345, 777, "http://torn/x", "torn", 0, "", "")],
+            "rank long, round int, url string, host string, attempt int,"
+            " ua string, cookie string",
         )
     )
     engine.catalog.table("url_seen").append(
