@@ -306,6 +306,18 @@ def q33_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def q35_ann_ivf_topk(spark, sf_dir):
+    """Inverted-file ANN (the second scale path next to q25's LSH): corpus
+    assigned once to md5-anchor centroid lists, queries probe the 2 nearest
+    lists, exact re-rank on probed candidates only.  Fully DuckDB-oracled —
+    the deterministic centroids are inlined as SQL literals.  The trained
+    (DataFrame k-means) variant is recall-tested in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = similarity.anchor_centroids(64, 8)
+    return similarity.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
 def q26_embedding_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     norm = F.sqrt(
@@ -467,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_embedding_neardup": q32_embedding_neardup,
         "q33_embedding_neardup_lsh": q33_embedding_neardup_lsh,
         "q34_minhash_lsh_fast": q34_minhash_lsh_fast,
+        "q35_ann_ivf_topk": q35_ann_ivf_topk,
     }
 
 
@@ -716,6 +729,36 @@ def oracle_sql() -> dict[str, str]:
         "  JOIN qb USING (band, bucket) WHERE query_id <> neighbor_id),"
         " scored AS (SELECT query_id, neighbor_id,"
         "  CAST(round(list_cosine_similarity(qv, cv) * 10000) AS BIGINT) AS sim_x10k"
+        "  FROM cand)"
+        " SELECT query_id, neighbor_id, sim_x10k, rk FROM (SELECT *,"
+        "  row_number() OVER (PARTITION BY query_id ORDER BY sim_x10k DESC, neighbor_id) AS rk"
+        "  FROM scored) WHERE rk <= 5"
+    )
+    # generated q35 oracle: IVF over the same deterministic-literal trick —
+    # centroid vectors are pure md5 functions of (cid, coord), inlined as a
+    # VALUES list; assignment/probe use the identical rounded-integer cosine
+    # + lower-cid tie-break total order as the Spark side.
+    from spiderman_spark.operators.similarity import anchor_centroids
+
+    _cent_vals = ", ".join(
+        f"({cid}, [" + ", ".join(repr(v) for v in cvec) + "])"
+        for cid, cvec in anchor_centroids(64, 8)
+    )
+    _csim = "CAST(round(list_cosine_similarity(e.embedding, c.cv) * 10000) AS BIGINT)"
+    sql["q35_ann_ivf_topk"] = (
+        f"WITH cent(cid, cv) AS (VALUES {_cent_vals}),"
+        " ca AS (SELECT vec_id AS neighbor_id, embedding AS cvv, cid FROM"
+        "  (SELECT e.vec_id, e.embedding, c.cid, row_number() OVER"
+        f"   (PARTITION BY e.vec_id ORDER BY {_csim} DESC, c.cid) AS crk"
+        "   FROM embeddings e CROSS JOIN cent c) WHERE crk = 1),"
+        " qa AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM"
+        "  (SELECT e.vec_id, e.embedding, c.cid, row_number() OVER"
+        f"   (PARTITION BY e.vec_id ORDER BY {_csim} DESC, c.cid) AS crk"
+        "   FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE crk <= 2),"
+        " cand AS (SELECT DISTINCT query_id, qv, neighbor_id, cvv FROM ca"
+        "  JOIN qa USING (cid) WHERE query_id <> neighbor_id),"
+        " scored AS (SELECT query_id, neighbor_id,"
+        "  CAST(round(list_cosine_similarity(qv, cvv) * 10000) AS BIGINT) AS sim_x10k"
         "  FROM cand)"
         " SELECT query_id, neighbor_id, sim_x10k, rk FROM (SELECT *,"
         "  row_number() OVER (PARTITION BY query_id ORDER BY sim_x10k DESC, neighbor_id) AS rk"

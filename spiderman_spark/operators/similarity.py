@@ -7,6 +7,13 @@
   sketch from deterministic pseudo-random projections (xxhash64-derived, no
   RNG state), candidates = same-bucket rows (multi-probe over bands), exact
   re-rank on candidates only.  Recall is tested against cosine_topk.
+- ``ivf_topk``: inverted-file ANN — corpus rows are assigned once to their
+  nearest centroid (one broadcast join against the tiny centroid set, no
+  corpus shuffle), each query probes its ``nprobe`` nearest lists, and only
+  rows in probed lists are exactly re-ranked.  Centroids come either from
+  ``anchor_centroids`` (deterministic md5 anchors — the oracle-able variant)
+  or ``ivf_train`` (DataFrame-native Lloyd's k-means — the production path,
+  recall-tested against cosine_topk).
 """
 
 from pyspark.sql import DataFrame, functions as F
@@ -177,6 +184,141 @@ def sign_sketch(vec_col, dim: int, planes: int = 16):
             F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
         )
     return acc
+
+
+def anchor_centroids(dim: int, n: int) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroids (cid, vector) from md5-of-
+    (cid, coord) — same no-RNG-state trick as ``_projection_vec`` with a
+    distinct salt, so Spark literals and oracle SQL literals agree exactly."""
+    import hashlib
+
+    out = []
+    for cid in range(n):
+        vec = []
+        for c in range(dim):
+            h = int(hashlib.md5(f"ivf:{cid}:{c}".encode()).hexdigest()[:8], 16)
+            vec.append((h / 2**31) - 1.0)
+        out.append((cid, vec))
+    return out
+
+
+def _nearest_centroids(df, ident: str, vec: str, centroids, n: int):
+    """Keep each row's ``n`` nearest centroids by rounded-integer cosine
+    (ties → lower cid — the cross-engine total order).
+
+    ``centroids`` is a driver-side list of (cid, vector): small by
+    construction (k lists × dim floats), inlined as literals so the corpus
+    scan needs no join — and the per-row ranking is an ``array_sort`` over
+    (neg-sim, cid) structs, NOT a window, so assignment is a fully narrow
+    codegen'd projection: zero shuffle of the corpus."""
+    structs = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        cosine(F.col(vec), F.array(*[F.lit(v) for v in cvec]))
+                        * 10000
+                    ).cast("long")
+                ).alias("negsim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.array_sort(structs), 1, n)
+    return df.select(ident, vec, F.explode(top).alias("cs")).select(
+        ident, vec, F.col("cs.cid").alias("cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-file ANN top-k: (query_id, neighbor_id, sim_x10k, rk).
+
+    Corpus rows land in exactly ONE list (their nearest centroid); each query
+    probes its ``nprobe`` nearest lists; exact cosine re-rank runs on probed
+    candidates only.  At scale the corpus is scanned once for assignment
+    (centroid literals inlined, no shuffle), and the only shuffled rows are
+    the probed candidates — the IVF recipe from Faiss/SPANN re-expressed as
+    two narrow DataFrame stages."""
+    from pyspark.sql import Window
+
+    c = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+        centroids,
+        1,
+    )
+    q = _nearest_centroids(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+        centroids,
+        nprobe,
+    )
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long").alias("sim_x10k"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_x10k").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim_x10k", "rk")
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """DataFrame-native Lloyd's k-means for IVF lists (production path).
+
+    Init = the deterministic md5 anchors; each iteration assigns rows to
+    their nearest centroid (literals inlined — no join) and recomputes every
+    centroid as 64 per-coordinate ``avg`` aggregates in ONE groupBy (one
+    shuffle of k×dim partial sums per iteration, map-side combined; no
+    explode, no driver data path beyond the k×dim centroid list itself,
+    which is small by construction).  Empty lists keep their previous
+    centroid.  Returns driver-side [(cid, vector)] for ``ivf_topk``."""
+    cents = anchor_centroids(dim, k)
+    for _ in range(iters):
+        assigned = _nearest_centroids(
+            df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v")),
+            "rid",
+            "v",
+            cents,
+            1,
+        )
+        rows = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = dict(cents)
+        for r in rows:
+            new[r["cid"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = sorted(new.items())
+    return cents
 
 
 def lsh_topk(

@@ -91,6 +91,45 @@ def test_embedding_neardup_exact_and_lsh_recall(spark):
     assert recall >= 0.8, recall
 
 
+def test_ivf_topk_trained_recall_and_plan(spark):
+    """IVF ANN (q35 family): planted near-identical copies must be retrieved
+    as each query's top neighbor — a near-dup shares its query's nearest
+    centroid list except on a boundary, which nprobe=2 covers.  Also asserts
+    the scale contract: centroid assignment is a narrow projection (no
+    Exchange in its plan) and every corpus row lands in exactly one list."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.limit(25).collect()
+    rng = np.random.RandomState(11)
+    dups = [
+        (
+            int(r["vec_id"]) + 100000,
+            [float(x + rng.normal(0, 0.01)) for x in r["embedding"]],
+            int(r["label"]),
+        )
+        for r in base
+    ]
+    planted = emb.unionByName(
+        spark.createDataFrame(dups, "vec_id long, embedding array<float>, label int")
+    )
+    cents = simi.ivf_train(planted, dim=64, k=8, iters=2)
+    assert len(cents) == 8 and all(len(v) == 64 for _, v in cents)
+    queries = planted.where(F.col("vec_id") < 25)
+    got = simi.ivf_topk(planted, queries, cents, k=1, nprobe=2)
+    hits = {
+        (r["query_id"], r["neighbor_id"])
+        for r in got.collect()
+        if r["neighbor_id"] == r["query_id"] + 100000
+    }
+    assert len(hits) / 25 >= 0.9, hits
+    assigned = simi._nearest_centroids(
+        planted.selectExpr("vec_id AS rid", "embedding AS v"), "rid", "v", cents, 1
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert assigned.count() == planted.count()  # one list per row
+    assert assigned.select("rid").distinct().count() == planted.count()
+
+
 def test_resize_upscale_no_nan(spark, images):
     """ADVICE fix: upscaling must map every output cell to a source (the old
     source->bin scatter left empty bins -> 0/0 NaN cast to uint8)."""
