@@ -188,12 +188,20 @@ def bench_queries() -> dict:
     from spiderman_spark import corpusgen as cg
     from spiderman_spark import simulator as sim
 
+    # engine state / shuffle / checkpoints on tmpfs, same as --scaling: this
+    # sandbox's one shared disk writes incompressible data at ~6 MB/s
+    # (BENCH/BASELINE.md S1), so disk-backed local dirs measure the
+    # hypervisor's write throttle, not the engine (q34's 6.5M-pair local
+    # checkpoint alone drifted 4 s ↔ 145 s between identical runs on it)
+    scratch = os.path.join(_scratch_base(), "tmp")
+    os.environ.setdefault("SPARK_LOCAL_DIRS", scratch)
+    tempfile.tempdir = scratch
     spark = make_session(CPUS, "bench")
     spark.sparkContext.setLogLevel("ERROR")
     # one trivial action to absorb executor spin-up + first codegen compile so
     # q-timings measure query cost, not JVM boot; deliberately touches no
     # benchmark data (no page-cache priming)
-    spark.range(10_000).selectExpr("sum(xxhash64(id))").collect()
+    spark.range(10_000).selectExpr("sum(xxhash64(id) % 1048576)").collect()
     qs = entrymod.queries()
     timings = {}
     for name in HEADLINE:
@@ -218,6 +226,10 @@ def bench_queries() -> dict:
         "crawl_pages_per_sec": round(crawl["pages_per_sec"], 1),
     }
     spark.stop()
+    # machine-state context for cross-round comparison: this sandbox has
+    # measured ~14x throughput drift between identical runs (BASELINE.md S4),
+    # so a fixed CPU-bound probe is recorded next to every headline number
+    result["calibration_probe_sec"] = calibration_probe()
     return result
 
 
@@ -329,9 +341,9 @@ def calibration_probe() -> float:
     spark = make_session(8, "calibration-probe")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        spark.range(1_000_000).selectExpr("sum(xxhash64(id))").collect()  # warm
+        spark.range(1_000_000).selectExpr("sum(xxhash64(id) % 1048576)").collect()  # warm
         t0 = time.perf_counter()
-        spark.range(600_000_000).selectExpr("sum(xxhash64(id))").collect()
+        spark.range(6_000_000_000).selectExpr("sum(xxhash64(id) % 1048576)").collect()
         return round(time.perf_counter() - t0, 2)
     finally:
         spark.stop()
