@@ -85,6 +85,14 @@ BENCH_XL = CorpusSpec(
     hosts=1024, list_pages=50000, details_per_page=20, images_per_detail=4,
     mega_host=False,
 )
+# - BENCH_XXL: one ~5M-page BFS round (flat 5000 lists × 1000 details, no
+#   images) — the round-size sweep point for the Amdahl fit in
+#   BENCH/BASELINE.md: per-round fixed cost is amortized 20x further than
+#   BENCH_XL, the regime the north rule's 10^7-10^8-page rounds live in.
+BENCH_XXL = CorpusSpec(
+    hosts=1024, list_pages=5000, details_per_page=1000, images_per_detail=0,
+    mega_host=False,
+)
 # scaling-evidence corpus: fewer URLs, production-sized images so the
 # fetch+decode+verify stage (the parallelizable work) dominates round overhead
 BENCH_IMG = CorpusSpec(
