@@ -94,6 +94,14 @@ class CrawlConfig:
     # executor memory; past that the corpus-side shuffle parallelizes better)
     broadcast_eligible: bool | None = None
     broadcast_max_rows: int = 300_000
+    # hash-rebalance the parse input across cores: parse COST is per-child,
+    # not per-page (a hub page with 1000 out-links costs 50x a leaf), and the
+    # fetch-join output clusters hubs by scan order — measured on BENCH_XXL
+    # as a 2-straggler-task parse tail that serialized ~45 µs/page of an
+    # otherwise parallel stage.  One extra shuffle of the round's page rows
+    # buys a balanced Arrow/Python parse wave; at web scale hub/leaf mixes
+    # are the norm, so this is on by default.
+    parse_rebalance: bool = True
     bizdate: str = "20240101"  # injected clock (SURVEY.md §7.3.2)
     ctime: str = "2024-01-01 00:00:00"
     spider: str = "zhifang"
@@ -416,6 +424,12 @@ class CrawlEngine:
         )
 
         pages = ok.where(F.col("callback").isin(list(self.spec.page_callbacks)))
+        if cfg.parse_rebalance:
+            # spread hub pages uniformly before the Python parse wave (see
+            # CrawlConfig.parse_rebalance); 4x cores = fine tail granularity
+            pages = pages.repartition(
+                4 * self.spark.sparkContext.defaultParallelism, F.xxhash64("url")
+            )
         parsed = parse_pages(pages, self.spec.parse).persist()
 
         # ---- child admission: dedup gate (D1) + deterministic seq assignment
