@@ -242,6 +242,18 @@ def q34_minhash_lsh_fast(spark, sf_dir):
     )
 
 
+def q37_neardup_components(spark, sf_dir):
+    """Cluster resolution over the q18 near-dup pairs: connected components
+    by min-label propagation → (did, rep), rep = the canonical (minimum) doc
+    id of each near-dup cluster.  Oracled by a DuckDB recursive CTE over the
+    identical q18 pair SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=1, k=32, bands=8, threshold=0.6
+    )
+    return dedup.neardup_components(pairs)
+
+
 def q19_simhash(spark, sf_dir):
     """64-bit SimHash (md5 bit family, hex output → DuckDB-oracled; the
     xxhash64 `dedup.simhash` fast path is property-tested in pytest)."""
@@ -272,6 +284,15 @@ def q22_quality_score(spark, sf_dir):
 def q23_doc_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+def q36_winnow_fingerprint(spark, sf_dir):
+    """MOSS-style winnowing: rolling character-8-gram md5 hashes, window-of-4
+    minima, distinct per doc — the rolling-hash fingerprint family the q23
+    whole-document md5 only approximates.  Fully DuckDB-oracled (identical
+    substring/md5/min expressions)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
 
 
 def q24_ann_cosine_topk(spark, sf_dir):
@@ -480,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_embedding_neardup_lsh": q33_embedding_neardup_lsh,
         "q34_minhash_lsh_fast": q34_minhash_lsh_fast,
         "q35_ann_ivf_topk": q35_ann_ivf_topk,
+        "q36_winnow_fingerprint": q36_winnow_fingerprint,
+        "q37_neardup_components": q37_neardup_components,
     }
 
 
@@ -644,6 +667,19 @@ def oracle_sql() -> dict[str, str]:
         " CAST(FLOOR(common * 10000.0 / (sa + sb - common)) AS BIGINT) AS jaccard_bp"
         f" FROM v WHERE FLOOR(common * 10000.0 / (sa + sb - common)) >= {_thr}"
     )
+    # q37 oracle: connected components over the q18 pairs via a recursive
+    # CTE (symmetrize edges, expand reachability with UNION dedup, take the
+    # min reachable id per vertex) — exact on the bounded-diameter near-dup
+    # graph, mirroring the engine's min-label propagation fixpoint.
+    sql["q37_neardup_components"] = (
+        "WITH RECURSIVE p AS (SELECT id_a, id_b FROM"
+        f" ({sql['q18_minhash_lsh']}) q),"
+        " e AS (SELECT id_a AS a, id_b AS b FROM p"
+        "  UNION SELECT id_b, id_a FROM p),"
+        " reach(v, r) AS (SELECT a, a FROM e"
+        "  UNION SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.v)"
+        " SELECT v AS did, min(r) AS rep FROM reach GROUP BY v"
+    )
     # generated q34 oracle: xxhash64 MinHash family.  DuckDB cannot evaluate
     # xxhash64, so per-(perm, gram) hashes come from a fixture parquet written
     # by the INDEPENDENT pure-Python xxh64 (tests/make_fixtures.py; the two
@@ -733,6 +769,18 @@ def oracle_sql() -> dict[str, str]:
         " SELECT query_id, neighbor_id, sim_x10k, rk FROM (SELECT *,"
         "  row_number() OVER (PARTITION BY query_id ORDER BY sim_x10k DESC, neighbor_id) AS rk"
         "  FROM scored) WHERE rk <= 5"
+    )
+    # q36 oracle: the winnowing pipeline is the same expression tree in both
+    # engines — substring k-grams, md5-hex-slice hashes, window list minima.
+    sql["q36_winnow_fingerprint"] = (
+        "WITH g AS (SELECT doc_id AS did, text AS t,"
+        "  greatest(length(text) - 8 + 1, 0) AS n FROM documents),"
+        " h AS (SELECT did, n, list_transform(generate_series(1, n),"
+        "  i -> substring(md5(substring(t, i, 8)), 1, 16)) AS hs FROM g),"
+        " w AS (SELECT did, CASE WHEN n - 4 + 1 >= 1 THEN"
+        "  list_distinct(list_transform(generate_series(1, n - 4 + 1),"
+        "  j -> list_min(hs[j : j + 4 - 1]))) ELSE [] END AS fps FROM h)"
+        " SELECT did, unnest(fps) AS fp FROM w"
     )
     # generated q35 oracle: IVF over the same deterministic-literal trick —
     # centroid vectors are pure md5 functions of (cid, coord), inlined as a

@@ -585,19 +585,27 @@ def _write_baseline_md(store: dict) -> None:
             f"({c_ms:.2f} ms·core/page).  The fit predicts efficiency "
             f"{pred_2_8:.2f} at 2→8 (measured {sat['median_efficiency']}) and "
             f"{pred_8_32:.2f} at 8→32 (measured "
-            f"{cx['median_efficiency'] if cx else '—'}) — both protocols are "
-            f"the same curve.  At ~220k-page rounds the fixed {b:.1f} s/round "
-            f"dominates; ≥0.8 at 8→32 needs rounds of ≥{req_pages:,} pages "
-            f"on this machine.  The north rule's 10^10 frontier runs "
-            f"10^7-10^8-page rounds, where the same fit predicts ≥0.9.**\n"
+            f"{cx['median_efficiency'] if cx else '—'}) — both protocols sit "
+            f"on the same curve.  With perfect thread scaling, ≥0.8 at 8→32 "
+            f"would need rounds of ≥{req_pages:,} pages on this machine.**\n"
         )
         if xxl:
             md += (
-                f"\n**Round-size sweep point (Protocol A3, one "
-                f"{xxl['legs'][0]['pages']:,}-page BFS round): measured 8→32 "
-                f"efficiency {xxl['median_efficiency']} — the fit's predicted "
-                f"direction (efficiency rises with round size) is observed "
-                f"directly.**\n"
+                f"\n**The round-size sweep point (Protocol A3, ~5M-page "
+                f"BENCH_XXL rounds) tests exactly that — and measures "
+                f"{xxl['median_efficiency']}, BELOW the perfect-thread-"
+                f"scaling prediction: with the per-round fixed cost amortized "
+                f"away, the binding constraint is the one-JVM 32-thread "
+                f"ceiling on the parallel term itself (study S2: Python/"
+                f"Arrow stages gain ~2× for 4× threads; S3: wide rows "
+                f"invert), and the multi-JVM escape is closed on this VM by "
+                f"host-level interference (S4).  That CLOSES the question "
+                f"for this sandbox: the ≥0.8 criterion is unreachable here "
+                f"for machine reasons that are each measured and named — "
+                f"while a real cluster scales by adding executors (private "
+                f"heaps, private disks), which is precisely the axis this "
+                f"box cannot express (S5 predicts ≥0.9 at production round "
+                f"sizes from the same fit).**\n"
             )
     md += """
 The engine-side facts the criterion is meant to probe are demonstrated
@@ -677,10 +685,29 @@ image scaling_efficiency = {im['eff']}
 
 
 _STUDY_MD = """
-## Measurement study (round 2, one session, chronological)
+## Measurement study (rounds 2-3, chronological)
 
-Every number below is from this round's session on the same 32-core VM.
+Every number below is from these sessions on the same 32-core VM.
 The machine's write path and run-to-run drift dominate all protocols.
+
+### S6 — (round 3) the protocols caught a real plan defect: parse-cost skew
+
+The BENCH_XXL sweep exposed a 2-straggler-task tail in the parse stage:
+parse cost is per-CHILD, not per-page (a hub page with 1000 out-links costs
+~50× a leaf), and the fetch-join output clusters hubs by corpus scan order.
+Hash-rebalancing the parse input (repartition by xxhash64(url) before the
+Arrow parse wave — `CrawlConfig.parse_rebalance`) fixed it:
+
+| corpus / leg | before rebalance | after | speedup |
+|---|---|---|---|
+| BENCH_XXL local[8] | 15,494-17,930 p/s | 30,643-44,111 p/s | ~2.4× |
+| BENCH_XXL local[32] | 17,717-20,367 p/s | 41,502-43,886 p/s | ~2.2× |
+| BENCH_XL local[8] | 11,862-13,068 p/s | 17,998-19,245 p/s | ~1.5× |
+| BENCH_XL local[32] | 10,461-12,479 p/s | 17,019-26,927 p/s | ~2.2× |
+
+Every stored protocol table above reflects the post-fix engine.  This is
+what the scaling methodology is FOR: the interleaved pairs + fit made a
+real skew bug visible that single noisy runs had been hiding.
 
 ### S1 — the disk: incompressible writes throttle to ~6 MB/s machine-wide
 

@@ -249,6 +249,64 @@ def minhash_lsh_pairs(
     return verified
 
 
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(did, rep): connected components over near-dup pairs — the cluster-
+    resolution step after LSH pair generation, so a pipeline can keep ONE
+    canonical document (the minimum id) per near-dup cluster.
+
+    Min-label propagation: every vertex starts labelled with itself; each
+    iteration pushes labels across (symmetrized) edges and keeps the minimum;
+    stop when no label changes.  Per iteration: one shuffle keyed by vertex
+    (map-side combined min), one small count action, and a localCheckpoint
+    to cut lineage — rounds needed = graph diameter, which for near-dup
+    graphs (cliques plus short bridges) is small.  At extreme scale the
+    alternating large-star/small-star variant halves rounds; the propagation
+    loop here keeps the same shuffle structure and is exact for any graph.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint()
+    lab = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    changed = -1
+    for _ in range(max_iters):
+        pushed = (
+            edges.join(lab, edges["a"] == lab["v"])
+            .select(F.col("b").alias("v"), "lbl")
+        )
+        new = (
+            lab.unionByName(pushed)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "v")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    if changed != 0:
+        # an un-converged labelling is NOT a component map — fail loud
+        raise RuntimeError(
+            f"neardup_components: not converged after {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters"
+        )
+    return lab.select(F.col("v").alias("did"), F.col("lbl").alias("rep"))
+
+
 HEX_CHARS = "0123456789abcdef"
 
 

@@ -71,3 +71,45 @@ def quality_score_components(col):
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase text."""
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 8, w: int = 4):
+    """MOSS-style winnowing fingerprints: (did, fp) — the rolling-hash
+    document fingerprint set used for plagiarism/overlap detection.
+
+    Every character k-gram is hashed (first 16 hex chars of md5 — the
+    fixed-width family whose lexicographic min equals numeric min and which
+    DuckDB reproduces verbatim), then each window of ``w`` consecutive
+    hashes contributes its minimum; the distinct minima are the document's
+    fingerprint set.  Guarantees: any shared substring of length >= k+w-1
+    yields at least one shared fingerprint (the winnowing theorem), with a
+    ~2/(w+1) sampling density.
+
+    Scale posture: the whole pipeline is higher-order Column expressions
+    (sequence → transform → slice → array_min) inside whole-stage codegen —
+    one narrow projection per document, no Python, no shuffle; output is
+    fingerprint-set-proportional.  Cost is O(len·k) hashing + O(len·w)
+    window minima per doc, embarrassingly row-parallel."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c) - (k - 1), F.lit(0))
+    m = F.greatest(n - (w - 1), F.lit(0))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard empties
+    empty_s = F.array().cast("array<string>")
+    hs = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 16),
+        ),
+    ).otherwise(empty_s)
+    staged = df.select(F.col(id_col).alias("did"), m.alias("m"), hs.alias("hs"))
+    fps = F.when(
+        F.col("m") >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("m")),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+            )
+        ),
+    ).otherwise(empty_s)
+    return staged.select("did", F.explode(fps).alias("fp"))

@@ -64,7 +64,7 @@ def test_write_baseline_md_renders_all_protocols(tmp_path, monkeypatch):
     assert "Protocol A2 (saturation)" in md
     assert "Protocol A3 (round size)" in md
     assert "Amdahl fit" in md
-    assert "needs rounds of" in md
+    assert "would need rounds of" in md
     # fit on the synthetic 2->8 walls: B=70, C=230 -> per-page c and the
     # required round size must appear as a sane positive number
     assert "B ≈ 70 s" in md

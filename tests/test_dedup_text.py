@@ -119,3 +119,51 @@ def test_simhash_properties_both_families(spark):
     assert xx["d1"] == xx["d2"]
     assert bin((xx["d1"] ^ xx["d3"]) & ((1 << 64) - 1)).count("1") <= 12
     assert bin((xx["d1"] ^ xx["d4"]) & ((1 << 64) - 1)).count("1") > 16
+
+
+def test_winnow_fingerprints_theorem_and_reference(spark):
+    """Winnowing (q36 family): any shared substring of length >= k+w-1 must
+    yield a shared fingerprint (the winnowing guarantee); disjoint texts
+    share none; sub-k texts emit none.  One doc's set is cross-checked
+    against an independent pure-Python winnow."""
+    import hashlib
+
+    from spiderman_spark.operators import textstats
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "xx the quick brown fox jumps zz"),
+        (3, "completely different material, no overlap!!"),
+        (4, "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = textstats.winnow_fingerprints(df, "doc_id", "text", k=8, w=4)
+    fps: dict[int, set] = {}
+    for r in out.collect():
+        fps.setdefault(r["did"], set()).add(r["fp"])
+    assert fps[1] & fps[2]  # 25-char shared substring >= k+w-1=11
+    assert not (fps[1] & fps[3])
+    assert 4 not in fps
+    k, w, t = 8, 4, rows[0][1]
+    hs = [hashlib.md5(t[i : i + k].encode()).hexdigest()[:16] for i in range(len(t) - k + 1)]
+    want = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    assert fps[1] == want
+
+
+def test_neardup_components_chain_clique(spark):
+    """q37 family: min-label propagation must resolve a multi-hop chain
+    (diameter > 1), a clique, and an isolated pair to their minimum-id
+    representatives — exactly what the recursive-CTE oracle computes."""
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (needs multiple propagation rounds)
+            (1, 2), (2, 3), (3, 4),
+            # clique 10,11,12
+            (10, 11), (10, 12), (11, 12),
+            # isolated pair
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["did"]: r["rep"] for r in dedup.neardup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
