@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from spiderman_spark.operators import dedup, similarity, textstats  # noqa: E402
+from spiderman_spark.operators import dedup, multimodal, similarity, textstats  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -295,6 +295,19 @@ def q36_winnow_fingerprint(spark, sf_dir):
     return textstats.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
 
 
+def q38_phash_neardup(spark, sf_dir):
+    """Image near-dup pairs by perceptual-hash banding over the simulator-
+    derived q28 image fixture (input_hint phash column): band slices →
+    candidates → exact bit_count(xor) verify.  Lossless for hamming <
+    bands by pigeonhole; DuckDB-oracled with identical bitwise semantics
+    (arithmetic shift + mask, two's-complement bit_count)."""
+    fix = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
+    )
+    images = spark.read.parquet(os.path.join(fix, "q28_images.parquet"))
+    return multimodal.phash_neardup_pairs(images, max_hamming=3)
+
+
 def q24_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -503,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_ann_ivf_topk": q35_ann_ivf_topk,
         "q36_winnow_fingerprint": q36_winnow_fingerprint,
         "q37_neardup_components": q37_neardup_components,
+        "q38_phash_neardup": q38_phash_neardup,
     }
 
 
@@ -627,6 +641,19 @@ def oracle_sql() -> dict[str, str]:
         # parity in tests/test_crawl_parity.py.
     }
     _fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+    # q38 oracle: phash band near-dup over the q28 fixture.  Arithmetic >>
+    # plus & mask and two's-complement bit_count(xor) are bit-identical
+    # between DuckDB and Spark for band shifts <= 48 (verified semantics).
+    sql["q38_phash_neardup"] = (
+        "WITH b(band) AS (VALUES (0),(1),(2),(3)),"
+        " s AS (SELECT image_id AS iid, phash AS ph, band,"
+        "  (phash >> (band*16)) & 65535 AS slice"
+        f"  FROM read_parquet('{_fix}/q28_images.parquet') CROSS JOIN b),"
+        " cand AS (SELECT DISTINCT x.iid AS id_a, x.ph AS pa, y.iid AS id_b,"
+        "  y.ph AS pb FROM s x JOIN s y USING (band, slice) WHERE x.iid < y.iid)"
+        " SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming"
+        " FROM cand WHERE bit_count(xor(pa, pb)) <= 3"
+    )
     sql["q27_crawl_order"] = (
         "SELECT CAST(rank AS BIGINT) AS rank, CAST(round AS INT) AS round,"
         " url, host, CAST(attempt AS INT) AS attempt, ua, cookie"

@@ -199,3 +199,67 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return media.select("media_id").mapInPandas(stage, AUDIO_FEATURES_DDL)
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash banding:
+    (id_a, id_b, hamming) with id_a < id_b and hamming <= ``max_hamming``.
+
+    The 64-bit average-phash (imagecodec.average_phash, stored in the corpus
+    per the input_hint schema) is split into ``bands`` slices; candidate
+    pairs share at least one identical slice — by pigeonhole this is LOSSLESS
+    for max_hamming < bands (a pair within the threshold cannot differ in
+    every band), so unlike the probabilistic LSH paths this variant is exact
+    while still never comparing all pairs.  Exact hamming verify
+    (bit_count(xor)) runs on candidates only.  All JVM bitwise Column exprs
+    inside codegen; the only shuffle is keyed by (band, slice) whose groups
+    are tiny on non-degenerate corpora.
+    """
+    from pyspark.sql import functions as F
+
+    bits = 64 // bands
+    mask = (1 << bits) - 1
+    sk = images.select(F.col(id_col).alias("iid"), F.col(phash_col).alias("ph"))
+    banded = sk.select(
+        "iid",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("ph"), b * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("iid", "ph", "bb.band", "bb.slice")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "slice"])
+        .where(F.col("x.iid") < F.col("y.iid"))
+        .select(
+            F.col("x.iid").alias("id_a"),
+            F.col("x.ph").alias("pa"),
+            F.col("y.iid").alias("id_b"),
+            F.col("y.ph").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

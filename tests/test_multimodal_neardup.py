@@ -152,3 +152,29 @@ def test_resize_upscale_no_nan(spark, images):
     assert np.array_equal(up, src[yi][:, xi])
     mixed = mm._block_mean_resize(src, 4, 13)  # up in h, down in w
     assert mixed.shape == (13, 4, 3)
+
+
+def test_phash_neardup_pairs_lossless(spark, images):
+    """q38 family: at max_hamming < bands the band filter is LOSSLESS by
+    pigeonhole, so the operator must equal driver-side brute force exactly;
+    a planted byte-identical copy must surface as a hamming-0 pair."""
+    import itertools
+
+    base = images.select("image_id", "phash")
+    copy = base.limit(1).select(
+        F.concat(F.lit("copy-"), "image_id").alias("image_id"), "phash"
+    )
+    planted = base.unionByName(copy)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.phash_neardup_pairs(planted, max_hamming=3).collect()
+    }
+    rows = planted.collect()
+    want = set()
+    for x, y in itertools.combinations(sorted(rows, key=lambda r: r["image_id"]), 2):
+        h = bin((x["phash"] ^ y["phash"]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want.add((x["image_id"], y["image_id"], h))
+    assert got == want
+    src = copy.collect()[0]["image_id"]
+    assert any(a == src or b == src for a, b, _ in got)  # hamming-0 planted pair
