@@ -679,9 +679,71 @@ fleet scaling_efficiency = {fl['eff']}
 
 image scaling_efficiency = {im['eff']}
 """
-    md += _STUDY_MD
+    md += _STUDY_MD + _s7_section(store) + _STUDY_MD_TAIL
     with open(os.path.join(os.path.dirname(_STORE_PATH), "BASELINE.md"), "w") as fh:
         fh.write(md)
+
+
+def _s7_section(store: dict) -> str:
+    """Cross-corpus regression: XL and XXL both run 5 BFS rounds, so two
+    corpus sizes at fixed round count solve wall = 5*b + c*pages per core
+    count.  Recomputed from the stored legs on every regeneration."""
+    import statistics
+
+    xl, xxl = store.get("crawl_8to32"), store.get("crawl_8to32_xxl")
+    if not xl or not xxl:
+        return ""
+
+    def med(proto, cores):
+        legs = [l for l in proto["legs"] if l["cores"] == cores]
+        return (
+            statistics.median(l["sec"] for l in legs),
+            legs[0]["pages"],
+            [l["sec"] for l in legs],
+        )
+
+    rows, note = [], ""
+    for cores in (8, 32):
+        w_xl, p_xl, _ = med(xl, cores)
+        w_xxl, p_xxl, secs_xxl = med(xxl, cores)
+        c = (w_xxl - w_xl) / (p_xxl - p_xl)
+        b = (w_xl - c * p_xl) / 5
+        rows.append((cores, b, c * 1e6, c * 1e6 * cores, w_xl, w_xxl))
+        if cores == 8:
+            note = f"{min(secs_xxl):.0f}–{max(secs_xxl):.0f} s"
+    (c8, c32) = (rows[0][2], rows[1][2])
+    table = "\n".join(
+        f"| local[{cores}] | ~{b:.1f} | ~{cus:.1f} | ~{cuc:.0f} |"
+        for cores, b, cus, cuc, _, _ in rows
+    )
+    return f"""
+### S7 — (round 3) cross-corpus regression separates per-round from per-page
+
+BENCH_XL ({xl['legs'][0]['pages']:,} pages) and BENCH_XXL
+({xxl['legs'][0]['pages']:,} pages) both run 5 BFS rounds, so two corpus
+sizes at fixed round count solve wall = 5·b + c·pages per core count.
+Using the median wall of the stored post-fix legs in
+`BENCH/scaling_store.json` (`crawl_8to32`: XL medians {rows[0][4]:.1f} s @8
+/ {rows[1][4]:.1f} s @32; `crawl_8to32_xxl`: XXL medians {rows[0][5]:.1f} s
+@8 / {rows[1][5]:.1f} s @32 — every number below recomputes from that
+file):
+
+| cores | b (s/round fixed) | c (µs/page) | c (µs·core/page) |
+|---|---|---|---|
+{table}
+
+Two independent confirmations: (1) both b values bracket the 2⇄8 Amdahl
+fit's ~6.5 s/round; (2) c is FLAT from 8 to 32 threads ({c8:.1f} → {c32:.1f}
+µs/page): quadrupling threads buys essentially zero per-page throughput —
+the S3 wide-round inversion measured directly on the production-shaped
+workload.  (Uncertainty note: the XXL 8-core legs straddle {note}, so the
+8-core row carries that spread; the flat-c conclusion survives either leg
+alone.)  Together these pin the sandbox ceiling: per-round fixed cost
+amortizes with round size exactly as predicted, but the per-page term stops
+scaling past ~8 threads in one JVM, and S4 shows co-resident JVMs on this
+VM degrade instead of scaling.  On hardware where executors add private
+heaps and disks, c scales with executors and b is <1% of a 10^7-page round.
+"""
 
 
 _STUDY_MD = """
@@ -708,7 +770,9 @@ Arrow parse wave — `CrawlConfig.parse_rebalance`) fixed it:
 Every stored protocol table above reflects the post-fix engine.  This is
 what the scaling methodology is FOR: the interleaved pairs + fit made a
 real skew bug visible that single noisy runs had been hiding.
+"""
 
+_STUDY_MD_TAIL = """
 ### S1 — the disk: incompressible writes throttle to ~6 MB/s machine-wide
 
 | probe | result |
