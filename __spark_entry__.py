@@ -308,6 +308,19 @@ def q38_phash_neardup(spark, sf_dir):
     return multimodal.phash_neardup_pairs(images, max_hamming=3)
 
 
+def q39_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (the second tokenizer of the brief's 'whitespace
+    + a BPE-ish regex' pair): simplified GPT-2 pre-tokenizer regex, identical
+    matches under Java regex and DuckDB's RE2 (no lookahead), so the count is
+    fully oracled.  Pure Column expr — stays in whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        textstats.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def q24_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -517,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_winnow_fingerprint": q36_winnow_fingerprint,
         "q37_neardup_components": q37_neardup_components,
         "q38_phash_neardup": q38_phash_neardup,
+        "q39_bpe_token_count": q39_bpe_token_count,
     }
 
 
@@ -614,6 +628,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q23_doc_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
+        ),
+        "q39_bpe_token_count": (
+            "SELECT doc_id,"
+            " CAST(len(regexp_extract_all(text,"
+            " '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'"
+            ")) AS BIGINT) AS n_bpe_tokens,"
+            " CAST(CASE WHEN len(trim(text)) = 0 THEN 0"
+            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens"
+            " FROM documents"
         ),
         "q24_ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),"

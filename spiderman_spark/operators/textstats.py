@@ -19,8 +19,25 @@ LANG_STOPWORDS = {
 
 
 def tokens(col) -> Column:
-    """Whitespace tokenization (the BPE-ish regex split)."""
+    """Whitespace tokenization."""
     return F.split(F.trim(col), r"\s+")
+
+
+# Simplified GPT-2 pre-tokenizer: contraction suffixes, space-prefixed letter
+# runs, digit runs, punctuation runs.  No lookahead, so the SAME pattern runs
+# under Java regex (Spark) and RE2 (DuckDB oracle) with identical matches;
+# whitespace runs are simply not extracted, so the count is non-whitespace
+# tokens — a ~chars/4 LLM-token estimate without a vocab file.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col) -> Column:
+    """BPE-ish pre-tokenization (array of token strings, JVM regex engine)."""
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col) -> Column:
+    return F.size(bpe_tokens(col))
 
 
 def token_count(col) -> Column:

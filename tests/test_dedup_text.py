@@ -167,3 +167,35 @@ def test_neardup_components_chain_clique(spark):
     )
     got = {r["did"]: r["rep"] for r in dedup.neardup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_bpe_token_count_vs_python_re(spark):
+    """q39 family: the BPE-ish pre-tokenizer must produce the same token
+    arrays as an independent Python ``re`` evaluation of the same pattern,
+    count only non-whitespace tokens, and report 0 on empty/whitespace-only
+    text."""
+    import re
+
+    from spiderman_spark.operators import textstats
+
+    rows = [
+        (1, "Hello world, it's 2024!  We'll tokenize-this... ok?"),
+        (2, ""),
+        (3, "   \t \n "),
+        (4, "naïve café 3.14foo's"),
+        (5, "a_b__c 100,000.5 -- don't"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["toks"], r["n"])
+        for r in df.select(
+            "doc_id",
+            textstats.bpe_tokens(F.col("text")).alias("toks"),
+            textstats.bpe_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    pat = re.compile(textstats.BPE_SPLIT_RE)
+    for doc_id, text in rows:
+        want = pat.findall(text)
+        assert got[doc_id] == (want, len(want)), (doc_id, got[doc_id], want)
+    assert got[2][1] == 0 and got[3][1] == 0  # no whitespace tokens
