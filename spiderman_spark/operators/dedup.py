@@ -168,12 +168,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs from banded LSH, then exact Jaccard verify on candidates.
 
-    Shuffle is keyed by (band, md5-of-band-slice) — bucket groups stay tiny,
-    so the pair blow-up is bounded; the exact verify touches only candidates
-    (the 100 TB-scale near-dup plan).  The shingle pass is computed ONCE and
-    persisted — signatures, banding, and the verify joins all read it (the
-    round-1 headline profile showed the tokenize+shingle expression tree,
-    evaluated three times, dominating q18).
+    Per-band self-joins keyed by the band's md5-slice bucket — bucket groups
+    stay tiny, so the pair blow-up is bounded; each pair is emitted only at
+    its minimum shared band (no cross-band distinct, see inline comment); the
+    exact verify touches only candidates (the 100 TB-scale near-dup plan).
+    The shingle pass is computed ONCE and persisted — signatures, banding,
+    and the verify joins all read it (the round-1 headline profile showed the
+    tokenize+shingle expression tree, evaluated three times, dominating q18).
 
     ``hash_family``: 'xxhash64' (production/bench, fixture-oracled) or 'md5'
     (directly SQL-oracled) — see ``minhash_value``.
@@ -195,34 +196,68 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
     ).where(F.size("grams") > 0)
     if materialize:
+        # Rebalance BEFORE caching: with min-band candidates there is no
+        # shuffle anywhere downstream (the old cross-band distinct was one),
+        # so every stage inherits the scan's partitioning — a small or
+        # skewed input would run the bands-times-inflated pair enumeration
+        # and the gram-intersection verify on a handful of cores.  Same
+        # reasoning as CrawlConfig.parse_rebalance: pair enumeration cost is
+        # per-collision, not per-doc, so spread docs evenly first (the
+        # shuffle moves only the doc-sized shingle frame, never pairs).
+        sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "did")
         sh = sh.persist()
+    sigs = sh.select("did", _sig_expr(k, hash_family).alias("sig"))
+    # One row per doc carrying every band bucket.  Persisted when allowed:
+    # the per-band joins below each read it, and recomputing would redo the
+    # k-permutation signature hashing once per band.
+    buckets = sigs.select(
+        "did",
+        *[band_bucket("sig", b, rows_per_band).alias(f"bk{b}") for b in range(bands)],
+    )
+    if materialize:
+        buckets = buckets.persist()
     use_bc = broadcast_grams
     if use_bc is None:
-        # one tiny action against the already-persisted shingle cache; in
+        # one small action; counting BUCKETS (1 row per shingled doc, so the
+        # same number as sh) eagerly populates both caches before the
+        # per-band joins fan out — 2*bands lazy scans racing an unpopulated
+        # cache would each recompute the k-permutation signatures.  In
         # plan-inspection mode (no persist, no actions) assume the small case
-        use_bc = sh.count() <= broadcast_max_rows if materialize else True
-    sigs = sh.select("did", _sig_expr(k, hash_family).alias("sig"))
-    banded = sigs.select(
-        "did",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket("sig", b, rows_per_band).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("did", "bb.band", "bb.bucket")
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .where(F.col("x.did") < F.col("y.did"))
-        .select(F.col("x.did").alias("id_a"), F.col("y.did").alias("id_b"))
-        .distinct()
-    )
+        use_bc = buckets.count() <= broadcast_max_rows if materialize else True
+    # Min-band candidate generation: band b's join emits only pairs whose
+    # FIRST shared bucket is band b (map-side `earlier buckets differ`
+    # filter), so each candidate pair appears exactly once across the union
+    # and the cross-band `.distinct()` — a full shuffle of the bands-times-
+    # inflated raw pair stream, the dominant cost of this operator at every
+    # measured scale — disappears.  The joins shuffle only the tiny per-doc
+    # buckets table; the pair stream itself stays narrow from here through
+    # the (broadcast) verify join.
+    parts = []
+    for b in range(bands):
+        x = buckets.select(
+            F.col("did").alias("id_a"),
+            *[F.col(f"bk{i}").alias(f"xa{i}") for i in range(b + 1)],
+        )
+        y = buckets.select(
+            F.col("did").alias("id_b"),
+            *[F.col(f"bk{i}").alias(f"yb{i}") for i in range(b + 1)],
+        )
+        j = x.join(y, F.col(f"xa{b}") == F.col(f"yb{b}")).where(
+            F.col("id_a") < F.col("id_b")
+        )
+        for i in range(b):
+            j = j.where(F.col(f"xa{i}") != F.col(f"yb{i}"))
+        parts.append(j.select("id_a", "id_b"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    if materialize:
+        # plan barrier, not just a cache: left open, Catalyst pushes the
+        # verify's grams joins INTO the union branches ahead of the min-band
+        # filters, running the per-pair gram intersection on the bands-times-
+        # inflated raw stream (measured 4x the staged cost).  Persisting cand
+        # pins the two-phase shape: dedup'd pairs first, verify second.
+        cand = cand.persist()
     a = sh.select(F.col("did").alias("id_a"), F.col("grams").alias("ga"))
     b = sh.select(F.col("did").alias("id_b"), F.col("grams").alias("gb"))
     if use_bc:
@@ -246,6 +281,8 @@ def minhash_lsh_pairs(
         # released deterministically instead of leaking per call
         verified = verified.localCheckpoint()
         sh.unpersist()
+        buckets.unpersist()
+        cand.unpersist()
     return verified
 
 
