@@ -218,43 +218,36 @@ def phash_neardup_pairs(
     every band), so unlike the probabilistic LSH paths this variant is exact
     while still never comparing all pairs.  Exact hamming verify
     (bit_count(xor)) runs on candidates only.  All JVM bitwise Column exprs
-    inside codegen; the only shuffle is keyed by (band, slice) whose groups
-    are tiny on non-degenerate corpora.
+    inside codegen; the per-band joins are keyed by the phash slice (tiny
+    groups on non-degenerate corpora) and the pair stream itself is never
+    shuffled (min-band exactly-once emission, no cross-band distinct).
     """
     from pyspark.sql import functions as F
 
     bits = 64 // bands
     mask = (1 << bits) - 1
-    sk = images.select(F.col(id_col).alias("iid"), F.col(phash_col).alias("ph"))
-    banded = sk.select(
-        "iid",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("ph"), b * bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("slice"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("iid", "ph", "bb.band", "bb.slice")
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "slice"])
-        .where(F.col("x.iid") < F.col("y.iid"))
-        .select(
-            F.col("x.iid").alias("id_a"),
-            F.col("x.ph").alias("pa"),
-            F.col("y.iid").alias("id_b"),
-            F.col("y.ph").alias("pb"),
+
+    def slice_of(col, b):
+        return F.shiftright(col, b * bits).bitwiseAND(F.lit(mask))
+
+    # Min-band candidates (same construction as minhash_lsh_pairs): band b's
+    # self-join emits only pairs whose FIRST shared slice is band b, so each
+    # pair appears exactly once across the union and no cross-band
+    # `.distinct()` shuffle of the inflated pair stream is needed — the
+    # earlier-band filter reads the two phash longs the rows already carry.
+    x = images.select(F.col(id_col).alias("id_a"), F.col(phash_col).alias("pa"))
+    y = images.select(F.col(id_col).alias("id_b"), F.col(phash_col).alias("pb"))
+    parts = []
+    for b in range(bands):
+        j = x.join(y, slice_of(F.col("pa"), b) == slice_of(F.col("pb"), b)).where(
+            F.col("id_a") < F.col("id_b")
         )
-        .distinct()
-    )
+        for i in range(b):
+            j = j.where(slice_of(F.col("pa"), i) != slice_of(F.col("pb"), i))
+        parts.append(j.select("id_a", "id_b", "pa", "pb"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
     return (
         cand.select(
             "id_a",

@@ -110,12 +110,13 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane sign sketch →
-    band buckets → candidate pairs within buckets only → exact cosine verify.
+    per-band bucket self-joins (min-band, exactly-once) → exact cosine verify
+    on candidates only.
 
-    Cost is O(rows × planes) sketching + a shuffle keyed by (band, bucket)
-    whose groups stay small; near-identical vectors agree on nearly all sign
-    bits, so recall at high thresholds is excellent (pytest-measured vs the
-    exact baseline)."""
+    Cost is O(rows × planes) sketching + per-band joins keyed by the sketch
+    slice, whose groups stay small; the pair stream itself is never shuffled.
+    Near-identical vectors agree on nearly all sign bits, so recall at high
+    thresholds is excellent (pytest-measured vs the exact baseline)."""
     bits_per_band = planes // bands
     mask = (1 << bits_per_band) - 1
     sk = df.select(
@@ -123,35 +124,34 @@ def embedding_neardup_lsh(
         F.col(vec_col).alias("vec"),
         sign_sketch(F.col(vec_col), dim, planes).alias("_sk"),
     )
-    banded = sk.select(
-        "did",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("_sk"), b * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("did", "vec", "bb.band", "bb.bucket")
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .where(F.col("x.did") < F.col("y.did"))
-        .select(
-            F.col("x.did").alias("id_a"),
-            F.col("x.vec").alias("va"),
-            F.col("y.did").alias("id_b"),
-            F.col("y.vec").alias("vb"),
-        )
-        .distinct()
+
+    def slice_of(col, b):
+        return F.shiftright(col, b * bits_per_band).bitwiseAND(F.lit(mask))
+
+    # Min-band candidates (same construction as minhash_lsh_pairs): band b's
+    # self-join emits only pairs whose FIRST shared band slice is b, so each
+    # pair appears exactly once across the union and the old cross-band
+    # `.distinct()` — which shuffled the bands-times-inflated pair stream
+    # WITH both embedding vectors in the row — disappears.  The earlier-band
+    # filter needs nothing beyond the two sketch longs the rows already
+    # carry.
+    x = sk.select(
+        F.col("did").alias("id_a"), F.col("vec").alias("va"), F.col("_sk").alias("ska")
     )
+    y = sk.select(
+        F.col("did").alias("id_b"), F.col("vec").alias("vb"), F.col("_sk").alias("skb")
+    )
+    parts = []
+    for b in range(bands):
+        j = x.join(y, slice_of(F.col("ska"), b) == slice_of(F.col("skb"), b)).where(
+            F.col("id_a") < F.col("id_b")
+        )
+        for i in range(b):
+            j = j.where(slice_of(F.col("ska"), i) != slice_of(F.col("skb"), i))
+        parts.append(j.select("id_a", "va", "id_b", "vb"))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
     return (
         cand.select(
             "id_a",
