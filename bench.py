@@ -470,7 +470,20 @@ def bench_scaling(full: bool = False) -> dict:
     # invocations compose instead of overwriting each other
     store = _load_store()
     suffix = "" if specname == "XL" else f"_{specname.lower()}"
-    store[f"crawl_{lo}to{hi}{suffix}"] = out["crawl_xl"]
+    key = f"crawl_{lo}to{hi}{suffix}"
+    prev = store.get(key)
+    if (
+        os.environ.get("SPARK_GRAFT_SCALING_APPEND") == "1"
+        and prev
+        and prev.get("lo") == lo
+        and prev.get("hi") == hi
+    ):
+        # accumulate pairs across sessions instead of replacing: the
+        # protocol's whole point is that the MEDIAN over many interleaved
+        # pairs (with per-window drift probes alongside) beats any single
+        # window's verdict
+        out["crawl_xl"] = _merge_protocol(prev, out["crawl_xl"])
+    store[key] = out["crawl_xl"]
     if full:
         store["fleet"] = {
             "N": out["fleet"]["N"], "4N": out["fleet"]["4N"],
@@ -486,6 +499,40 @@ def bench_scaling(full: bool = False) -> dict:
 
 
 _STORE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_store.json")
+
+
+def _merge_protocol(prev: dict, new: dict) -> dict:
+    """Union two runs of the same interleaved protocol (same lo/hi): legs and
+    probe series concatenate (legs stay lo,hi-alternating so pairing is
+    positional), pair efficiencies/median/spread/drift/verdict recompute over
+    the union."""
+    from statistics import median
+
+    legs = prev["legs"] + [
+        dict(l, pair=l["pair"] + len(prev["pair_efficiencies"])) for l in new["legs"]
+    ]
+    pair_effs = prev["pair_efficiencies"] + new["pair_efficiencies"]
+    probes = prev["calibration_probes_sec"] + new["calibration_probes_sec"]
+    med = round(median(pair_effs), 3)
+    spread = round(max(pair_effs) - min(pair_effs), 3)
+    probe_drift = round(max(probes) / min(probes), 2)
+    if med >= 0.8:
+        verdict = "met"
+    elif probe_drift <= 1.3 and spread <= 0.15:
+        verdict = "not_met_decidable"
+    else:
+        verdict = "not_met_undecidable"
+    return {
+        "lo": prev["lo"],
+        "hi": prev["hi"],
+        "legs": legs,
+        "pair_efficiencies": pair_effs,
+        "median_efficiency": med,
+        "spread": spread,
+        "calibration_probes_sec": probes,
+        "probe_drift_ratio": probe_drift,
+        "verdict": verdict,
+    }
 
 
 def _load_store() -> dict:
