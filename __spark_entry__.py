@@ -308,6 +308,31 @@ def q38_phash_neardup(spark, sf_dir):
     return multimodal.phash_neardup_pairs(images, max_hamming=3)
 
 
+def q40_image_dedup_canonical(spark, sf_dir):
+    """End-to-end image dedup pipeline (the LAION-style curation step the
+    operators compose into): phash band candidates → exact hamming verify →
+    connected components → one canonical representative per cluster, with
+    singletons kept as their own representative.  Output: (rep, cluster_size)
+    — rep is the minimum image_id of its cluster.  Oracled by q38's pair SQL
+    feeding q37's recursive-CTE component resolution in DuckDB."""
+    fix = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
+    )
+    images = spark.read.parquet(os.path.join(fix, "q28_images.parquet"))
+    pairs = multimodal.phash_neardup_pairs(images, max_hamming=3)
+    comp = dedup.neardup_components(pairs)
+    labeled = (
+        images.select("image_id")
+        .join(comp, images["image_id"] == comp["did"], "left")
+        .select(
+            "image_id", F.coalesce(F.col("rep"), F.col("image_id")).alias("rep")
+        )
+    )
+    return labeled.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+
+
 def q39_bpe_token_count(spark, sf_dir):
     """BPE-ish token counting (the second tokenizer of the brief's 'whitespace
     + a BPE-ish regex' pair): simplified GPT-2 pre-tokenizer regex, identical
@@ -531,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_neardup_components": q37_neardup_components,
         "q38_phash_neardup": q38_phash_neardup,
         "q39_bpe_token_count": q39_bpe_token_count,
+        "q40_image_dedup_canonical": q40_image_dedup_canonical,
     }
 
 
@@ -729,6 +755,20 @@ def oracle_sql() -> dict[str, str]:
         " reach(v, r) AS (SELECT a, a FROM e"
         "  UNION SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.v)"
         " SELECT v AS did, min(r) AS rep FROM reach GROUP BY v"
+    )
+    sql["q40_image_dedup_canonical"] = (
+        "WITH RECURSIVE p AS (SELECT id_a, id_b FROM"
+        f" ({sql['q38_phash_neardup']}) q),"
+        " e AS (SELECT id_a AS a, id_b AS b FROM p"
+        "  UNION SELECT id_b, id_a FROM p),"
+        " reach(v, r) AS (SELECT a, a FROM e"
+        "  UNION SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.v),"
+        " comp AS (SELECT v AS did, min(r) AS rep FROM reach GROUP BY v),"
+        " labeled AS (SELECT i.image_id, coalesce(c.rep, i.image_id) AS rep"
+        f"  FROM read_parquet('{_fix}/q28_images.parquet') i"
+        "  LEFT JOIN comp c ON i.image_id = c.did)"
+        " SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size"
+        " FROM labeled GROUP BY rep"
     )
     # generated q34 oracle: xxhash64 MinHash family.  DuckDB cannot evaluate
     # xxhash64, so per-(perm, gram) hashes come from a fixture parquet written
