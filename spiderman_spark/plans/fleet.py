@@ -145,8 +145,37 @@ def run_worker(
     status_path = os.path.join(fleet_dir, "status", f"w{worker}.json")
     os.makedirs(os.path.dirname(status_path), exist_ok=True)
     stop_path = os.path.join(fleet_dir, "STOP")
+    exit_path = os.path.join(fleet_dir, "EXIT")
     total = 0
     idle = 0
+
+    def publish(ready: bool = False) -> None:
+        tmp = status_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "worker": worker,
+                    "rounds": engine.round,
+                    "fetched": total,
+                    "idle": idle,
+                    "consumed": engine.handoff_consumed,
+                    "exported": engine.handoff_exported,
+                    "ready": ready,
+                },
+                fh,
+            )
+        os.replace(tmp, status_path)
+
+    def drain() -> int:
+        """Ingest + crawl to local exhaustion; returns pages fetched."""
+        got = 0
+        while engine.ingest_handoff():
+            fetched = engine.step()
+            while fetched:
+                got += fetched
+                fetched = engine.step()
+        return got
+
     active = True  # a drained frontier stays drained until an ingest arrives:
     # step() == 0 means the frontier is EMPTY (politeness always yields >= 1
     # eligible per pending host), so an idle worker only polls its inbox
@@ -158,46 +187,31 @@ def run_worker(
         active = n > 0
         total += n
         idle = idle + 1 if (n == 0 and ingested == 0) else 0
-        tmp = status_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "worker": worker,
-                    "rounds": engine.round,
-                    "fetched": total,
-                    "idle": idle,
-                    "consumed": engine.handoff_consumed,
-                    "exported": engine.handoff_exported,
-                },
-                fh,
-            )
-        os.replace(tmp, status_path)
+        publish()
         if n == 0 and ingested == 0:
             if os.path.exists(stop_path):
-                # final sweep (consistent-cut belt-and-braces): a last-instant
-                # export may have landed in the inbox between the poll that
-                # published our idle status and the coordinator's STOP —
-                # drain it to completion before exiting so no page is lost
-                while engine.ingest_handoff():
-                    fetched = engine.step()
-                    while fetched:
-                        total += fetched
-                        fetched = engine.step()
-                tmp = status_path + ".tmp"
-                with open(tmp, "w") as fh:
-                    json.dump(
-                        {
-                            "worker": worker,
-                            "rounds": engine.round,
-                            "fetched": total,
-                            "idle": idle,
-                            "consumed": engine.handoff_consumed,
-                            "exported": engine.handoff_exported,
-                            "final": True,
-                        },
-                        fh,
-                    )
-                os.replace(tmp, status_path)
+                # Two-phase exit barrier.  Phase 1 (STOP): drain any
+                # last-instant drop that landed between the poll that
+                # published our idle status and the coordinator's STOP, then
+                # publish ready=True.  Phase 2 (EXIT): STAY ALIVE until the
+                # coordinator confirms the global cut — our drain (or a
+                # peer's) may itself export foreign-host children, and a
+                # worker that exited early would leave those drops
+                # unconsumed, silently losing pages.  Any work done here
+                # resets ready and republishes counters, so the coordinator
+                # cannot see a stable all-ready balanced snapshot until the
+                # whole fleet is truly quiescent.
+                total += drain()
+                publish(ready=True)
+                while not os.path.exists(exit_path):
+                    got = drain()
+                    if got:
+                        # no explicit un-ready flicker needed: the changed
+                        # counters break the coordinator's two-poll
+                        # unchanged-snapshot requirement by themselves
+                        total += got
+                        publish(ready=True)
+                    time.sleep(STATUS_POLL_S)
                 break
             time.sleep(STATUS_POLL_S)
     spark.stop()
@@ -217,7 +231,8 @@ def _statuses(fleet_dir: str, workers: int) -> list[dict]:
 
 
 def coordinate(fleet_dir: str, workers: int, idle_polls: int = 3, procs=None) -> None:
-    """Poll worker statuses; create STOP when the fleet is globally quiescent.
+    """Poll worker statuses; STOP when the fleet looks quiescent, EXIT when
+    the post-STOP cut is confirmed.
 
     Quiescence is a CONSISTENT CUT, not a single racy snapshot: status files
     are stale by up to one Spark round, so "all idle and exported==consumed"
@@ -226,38 +241,55 @@ def coordinate(fleet_dir: str, workers: int, idle_polls: int = 3, procs=None) ->
     Requiring TWO consecutive polls with *unchanged* per-worker (rounds,
     exported, consumed) counters — and the idle/balance predicate in both —
     rules that out: any in-flight round publishes a counter change between
-    the polls.  Workers additionally run a final ingest sweep after observing
-    STOP (run_worker).  If a worker process dies early, kill the rest and
-    raise."""
-    prev = None
-    while True:
-        if procs is not None:
-            dead = [i for i, p in enumerate(procs) if p.poll() is not None]
-            if dead:
-                open(os.path.join(fleet_dir, "STOP"), "w").close()
-                for p in procs:
-                    if p.poll() is None:
-                        p.terminate()
-                raise RuntimeError(
-                    f"fleet worker(s) {dead} exited early "
-                    f"(rc={[procs[i].returncode for i in dead]}); see worker*.stderr"
+    the polls.
+
+    STOP alone is not a safe exit: a worker's post-STOP drain can itself
+    export foreign-host children, and a peer that exited already would leave
+    those drops unconsumed (silent page loss).  So workers stay alive after
+    STOP, draining and republishing, until this second phase confirms the
+    cut — every worker ready, exported==consumed, counters unchanged across
+    two polls (any drain bumps `consumed` before its publish, so in-flight
+    work always breaks the snapshot) — and writes EXIT.  If a worker process
+    dies early, release the rest (EXIT) then kill them and raise."""
+
+    def _fail(dead):
+        # EXIT releases live workers from the phase-2 wait before terminate
+        open(os.path.join(fleet_dir, "EXIT"), "w").close()
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        raise RuntimeError(
+            f"fleet worker(s) {dead} exited early "
+            f"(rc={[procs[i].returncode for i in dead]}); see worker*.stderr"
+        )
+
+    def _wait(predicate, marker: str) -> None:
+        prev = None
+        while True:
+            if procs is not None:
+                dead = [i for i, p in enumerate(procs) if p.poll() is not None]
+                if dead:
+                    _fail(dead)
+            sts = _statuses(fleet_dir, workers)
+            if all(s is not None for s in sts):
+                balanced = sum(s["exported"] for s in sts) == sum(
+                    s["consumed"] for s in sts
                 )
-        sts = _statuses(fleet_dir, workers)
-        if all(s is not None for s in sts):
-            all_idle = all(s["idle"] >= idle_polls for s in sts)
-            exported = sum(s["exported"] for s in sts)
-            consumed = sum(s["consumed"] for s in sts)
-            snap = tuple(
-                (s["rounds"], s["exported"], s["consumed"]) for s in sts
-            )
-            quiet = all_idle and exported == consumed
-            if quiet and prev == snap:
-                open(os.path.join(fleet_dir, "STOP"), "w").close()
-                return
-            prev = snap if quiet else None
-        else:
-            prev = None
-        time.sleep(STATUS_POLL_S)
+                snap = tuple(
+                    (s["rounds"], s["exported"], s["consumed"], s.get("ready"))
+                    for s in sts
+                )
+                quiet = balanced and predicate(sts)
+                if quiet and prev == snap:
+                    open(os.path.join(fleet_dir, marker), "w").close()
+                    return
+                prev = snap if quiet else None
+            else:
+                prev = None
+            time.sleep(STATUS_POLL_S)
+
+    _wait(lambda sts: all(s["idle"] >= idle_polls for s in sts), "STOP")
+    _wait(lambda sts: all(s.get("ready") for s in sts), "EXIT")
 
 
 def route_seeds(
@@ -315,16 +347,17 @@ def run_fleet(
     """Coordinator: route seeds, spawn W worker processes (each its own
     8-core JVM — the executor-emulation unit), wait for quiescence.
 
-    A reused ``fleet_dir`` is reset first: a stale STOP file would terminate
-    the new fleet instantly, stale status files satisfy the quiescence
-    predicate for workers that no longer exist, and stale handoff drops would
-    be re-ingested as new work."""
+    A reused ``fleet_dir`` is reset first: stale STOP/EXIT files would
+    terminate the new fleet instantly, stale status files satisfy the
+    quiescence predicate for workers that no longer exist, and stale handoff
+    drops would be re-ingested as new work."""
     os.makedirs(fleet_dir, exist_ok=True)
     import shutil
 
-    stop = os.path.join(fleet_dir, "STOP")
-    if os.path.exists(stop):
-        os.remove(stop)
+    for marker in ("STOP", "EXIT"):
+        path = os.path.join(fleet_dir, marker)
+        if os.path.exists(path):
+            os.remove(path)
     for sub in ("status", "handoff"):
         shutil.rmtree(os.path.join(fleet_dir, sub), ignore_errors=True)
     route_seeds(spark, fleet_dir, seeds, workers, host_map)

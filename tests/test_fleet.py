@@ -238,4 +238,59 @@ def test_fleet_subprocess_coordinator(spark, workdir, tmp_path):
     )
     assert res["workers"] == 2
     assert res["fetched"] == len(ref.crawl_order)
+    # two-phase termination: STOP (quiescence) then EXIT (confirmed cut);
+    # every status must have reached ready=True with exports balanced
     assert os.path.exists(os.path.join(fd, "STOP"))
+    assert os.path.exists(os.path.join(fd, "EXIT"))
+    sts = fleet._statuses(fd, 2)
+    assert all(s["ready"] for s in sts)
+    assert sum(s["exported"] for s in sts) == sum(s["consumed"] for s in sts)
+
+
+def test_coordinate_two_phase_exit_barrier(tmp_path):
+    """The reviewed race, deterministically: after STOP, a worker's drain
+    exports a drop (counters go imbalanced) — EXIT must NOT appear until the
+    peer has consumed it and the all-ready balanced snapshot holds across
+    two polls.  Pure status-file simulation; no Spark."""
+    import json
+    import threading
+    import time as _time
+
+    fd = str(tmp_path)
+    os.makedirs(os.path.join(fd, "status"))
+
+    def put(w, **kw):
+        base = {
+            "worker": w, "rounds": 1, "fetched": 5, "idle": 3,
+            "consumed": 0, "exported": 0, "ready": False,
+        }
+        base.update(kw)
+        tmp = os.path.join(fd, "status", f"w{w}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(base, fh)
+        os.replace(tmp, os.path.join(fd, "status", f"w{w}.json"))
+
+    def wait_for(path, timeout=15.0):
+        t0 = _time.monotonic()
+        while not os.path.exists(path):
+            assert _time.monotonic() - t0 < timeout, f"timed out waiting for {path}"
+            _time.sleep(0.1)
+
+    put(0)
+    put(1)
+    t = threading.Thread(target=fleet.coordinate, args=(fd, 2), daemon=True)
+    t.start()
+    stop, exit_ = os.path.join(fd, "STOP"), os.path.join(fd, "EXIT")
+    wait_for(stop)
+    assert not os.path.exists(exit_)
+    # post-STOP: w0's drain exported one drop; both republish ready=True but
+    # the fleet is imbalanced (exported 1, consumed 0) -> EXIT must wait
+    put(0, exported=1, ready=True)
+    put(1, ready=True)
+    _time.sleep(2.5)
+    assert not os.path.exists(exit_), "EXIT created while a drop was unconsumed"
+    # w1 consumes the drop -> balanced, all ready, stable -> EXIT
+    put(1, consumed=1, ready=True)
+    t.join(timeout=15)
+    assert not t.is_alive()
+    assert os.path.exists(exit_)
