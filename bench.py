@@ -324,11 +324,15 @@ def _scratch_base() -> str:
     cluster's disk bandwidth is per-node and scales with executors; tmpfs
     state emulates that at cluster parity.  Falls back to the default tmp
     when /dev/shm is absent."""
-    base = "/dev/shm/spfrontier" if os.path.isdir("/dev/shm") else None
-    if base:
-        os.makedirs(os.path.join(base, "tmp"), exist_ok=True)
-        return base
-    return tempfile.gettempdir()
+    base = (
+        "/dev/shm/spfrontier"
+        if os.path.isdir("/dev/shm")
+        else os.path.join(tempfile.gettempdir(), "spfrontier")
+    )
+    # both callers use <base>/tmp as SPARK_LOCAL_DIRS + tempfile.tempdir, so
+    # it must exist in the fallback branch too
+    os.makedirs(os.path.join(base, "tmp"), exist_ok=True)
+    return base
 
 
 def calibration_probe() -> float:
@@ -407,29 +411,8 @@ def bench_scaling(full: bool = False) -> dict:
         )
         for i in range(pairs)
     ]
-    med = round(median(pair_effs), 3)
-    probe_drift = round(max(probes) / min(probes), 2)
-    spread = round(max(pair_effs) - min(pair_effs), 3)
-    if med >= 0.8:
-        verdict = "met"
-    elif probe_drift <= 1.3 and spread <= 0.15:
-        verdict = "not_met_decidable"
-    else:
-        verdict = "not_met_undecidable"
-    out = {
-        "crawl_xl": {
-            "lo": lo,
-            "hi": hi,
-            "legs": legs,
-            "pair_efficiencies": pair_effs,
-            "median_efficiency": med,
-            "spread": spread,
-            "calibration_probes_sec": probes,
-            "probe_drift_ratio": probe_drift,
-            "verdict": verdict,
-        }
-    }
-    out["crawl_scaling_efficiency"] = med
+    out = {"crawl_xl": _protocol_stats(lo, hi, legs, pair_effs, probes)}
+    out["crawl_scaling_efficiency"] = out["crawl_xl"]["median_efficiency"]
 
     if full:
         from spiderman_spark.plans import fleet as fleetmod
@@ -501,18 +484,12 @@ def bench_scaling(full: bool = False) -> dict:
 _STORE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_store.json")
 
 
-def _merge_protocol(prev: dict, new: dict) -> dict:
-    """Union two runs of the same interleaved protocol (same lo/hi): legs and
-    probe series concatenate (legs stay lo,hi-alternating so pairing is
-    positional), pair efficiencies/median/spread/drift/verdict recompute over
-    the union."""
+def _protocol_stats(lo, hi, legs, pair_effs, probes) -> dict:
+    """Median/spread/drift/verdict over an interleaved protocol's pairs —
+    the ONE place the 0.8 / 1.3 / 0.15 verdict thresholds live (fresh runs
+    and append-mode merges must agree on the same data)."""
     from statistics import median
 
-    legs = prev["legs"] + [
-        dict(l, pair=l["pair"] + len(prev["pair_efficiencies"])) for l in new["legs"]
-    ]
-    pair_effs = prev["pair_efficiencies"] + new["pair_efficiencies"]
-    probes = prev["calibration_probes_sec"] + new["calibration_probes_sec"]
     med = round(median(pair_effs), 3)
     spread = round(max(pair_effs) - min(pair_effs), 3)
     probe_drift = round(max(probes) / min(probes), 2)
@@ -523,8 +500,8 @@ def _merge_protocol(prev: dict, new: dict) -> dict:
     else:
         verdict = "not_met_undecidable"
     return {
-        "lo": prev["lo"],
-        "hi": prev["hi"],
+        "lo": lo,
+        "hi": hi,
         "legs": legs,
         "pair_efficiencies": pair_effs,
         "median_efficiency": med,
@@ -533,6 +510,23 @@ def _merge_protocol(prev: dict, new: dict) -> dict:
         "probe_drift_ratio": probe_drift,
         "verdict": verdict,
     }
+
+
+def _merge_protocol(prev: dict, new: dict) -> dict:
+    """Union two runs of the same interleaved protocol (same lo/hi): legs and
+    probe series concatenate (legs stay lo,hi-alternating so pairing is
+    positional), pair efficiencies/median/spread/drift/verdict recompute over
+    the union."""
+    legs = prev["legs"] + [
+        dict(l, pair=l["pair"] + len(prev["pair_efficiencies"])) for l in new["legs"]
+    ]
+    return _protocol_stats(
+        prev["lo"],
+        prev["hi"],
+        legs,
+        prev["pair_efficiencies"] + new["pair_efficiencies"],
+        prev["calibration_probes_sec"] + new["calibration_probes_sec"],
+    )
 
 
 def _load_store() -> dict:

@@ -153,6 +153,38 @@ def band_bucket(sig_col_name: str, b: int, rows_per_band: int):
     )
 
 
+def minband_pair_union(
+    x: DataFrame, y: DataFrame, slice_a, slice_b, bands: int, pair_predicate=None
+):
+    """Exactly-once banded candidate pairs: per-band self-join keyed on band
+    b's bucket, emitting a pair only when NO earlier band shares a bucket, so
+    each candidate appears exactly once at its minimum shared band and no
+    cross-band ``distinct`` — a full shuffle of the bands-times-inflated raw
+    pair stream — is ever needed.
+
+    ``x``/``y``: the two (pre-aliased) sides carrying whatever columns the
+    verify step needs; ``slice_a(b)`` / ``slice_b(b)``: the band-b bucket
+    Column of each side; ``pair_predicate``: which joined rows form a pair
+    (default ``id_a < id_b``, the self-join convention; query→corpus callers
+    pass their own).  The earlier-band filters evaluate map-side on columns
+    the joined rows already carry, so the returned union flows narrow into
+    the caller's verify.  Shared by the MinHash, sign-sketch-embedding,
+    ANN-LSH, and phash near-dup operators — the exactly-once invariant lives
+    here once."""
+    if pair_predicate is None:
+        pair_predicate = F.col("id_a") < F.col("id_b")
+    parts = []
+    for b in range(bands):
+        j = x.join(y, slice_a(b) == slice_b(b)).where(pair_predicate)
+        for i in range(b):
+            j = j.where(slice_a(i) != slice_b(i))
+        parts.append(j)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -222,35 +254,31 @@ def minhash_lsh_pairs(
         # same number as sh) eagerly populates both caches before the
         # per-band joins fan out — 2*bands lazy scans racing an unpopulated
         # cache would each recompute the k-permutation signatures.  In
-        # plan-inspection mode (no persist, no actions) assume the small case
-        use_bc = buckets.count() <= broadcast_max_rows if materialize else True
-    # Min-band candidate generation: band b's join emits only pairs whose
-    # FIRST shared bucket is band b (map-side `earlier buckets differ`
-    # filter), so each candidate pair appears exactly once across the union
-    # and the cross-band `.distinct()` — a full shuffle of the bands-times-
-    # inflated raw pair stream, the dominant cost of this operator at every
-    # measured scale — disappears.  The joins shuffle only the tiny per-doc
-    # buckets table; the pair stream itself stays narrow from here through
-    # the (broadcast) verify join.
-    parts = []
-    for b in range(bands):
-        x = buckets.select(
-            F.col("did").alias("id_a"),
-            *[F.col(f"bk{i}").alias(f"xa{i}") for i in range(b + 1)],
-        )
-        y = buckets.select(
-            F.col("did").alias("id_b"),
-            *[F.col(f"bk{i}").alias(f"yb{i}") for i in range(b + 1)],
-        )
-        j = x.join(y, F.col(f"xa{b}") == F.col(f"yb{b}")).where(
-            F.col("id_a") < F.col("id_b")
-        )
-        for i in range(b):
-            j = j.where(F.col(f"xa{i}") != F.col(f"yb{i}"))
-        parts.append(j.select("id_a", "id_b"))
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+        # plan-inspection mode (no persist, no actions allowed) apply NO
+        # hint: a forced broadcast of an unbounded grams table is exactly
+        # the driver-OOM this threshold exists to prevent, so let AQE pick
+        # the join if the lazy plan is later executed
+        use_bc = buckets.count() <= broadcast_max_rows if materialize else False
+    # Min-band candidate generation (minband_pair_union): the joins shuffle
+    # only the tiny per-doc buckets table; the pair stream itself stays
+    # narrow from enumeration through the (broadcast) verify join.  The
+    # cross-band distinct this replaces was the dominant cost of the
+    # operator at every measured scale.
+    x = buckets.select(
+        F.col("did").alias("id_a"),
+        *[F.col(f"bk{i}").alias(f"xa{i}") for i in range(bands)],
+    )
+    y = buckets.select(
+        F.col("did").alias("id_b"),
+        *[F.col(f"bk{i}").alias(f"yb{i}") for i in range(bands)],
+    )
+    cand = minband_pair_union(
+        x,
+        y,
+        lambda b: F.col(f"xa{b}"),
+        lambda b: F.col(f"yb{b}"),
+        bands,
+    ).select("id_a", "id_b")
     if materialize:
         # plan barrier, not just a cache: left open, Catalyst pushes the
         # verify's grams joins INTO the union branches ahead of the min-band

@@ -230,24 +230,20 @@ def phash_neardup_pairs(
     def slice_of(col, b):
         return F.shiftright(col, b * bits).bitwiseAND(F.lit(mask))
 
-    # Min-band candidates (same construction as minhash_lsh_pairs): band b's
-    # self-join emits only pairs whose FIRST shared slice is band b, so each
-    # pair appears exactly once across the union and no cross-band
-    # `.distinct()` shuffle of the inflated pair stream is needed — the
-    # earlier-band filter reads the two phash longs the rows already carry.
+    # Min-band candidates (dedup.minband_pair_union): the earlier-band
+    # filters read the two phash longs the rows already carry, so no
+    # cross-band `.distinct()` shuffle of the inflated pair stream is needed.
+    from .dedup import minband_pair_union
+
     x = images.select(F.col(id_col).alias("id_a"), F.col(phash_col).alias("pa"))
     y = images.select(F.col(id_col).alias("id_b"), F.col(phash_col).alias("pb"))
-    parts = []
-    for b in range(bands):
-        j = x.join(y, slice_of(F.col("pa"), b) == slice_of(F.col("pb"), b)).where(
-            F.col("id_a") < F.col("id_b")
-        )
-        for i in range(b):
-            j = j.where(slice_of(F.col("pa"), i) != slice_of(F.col("pb"), i))
-        parts.append(j.select("id_a", "id_b", "pa", "pb"))
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    cand = minband_pair_union(
+        x,
+        y,
+        lambda b: slice_of(F.col("pa"), b),
+        lambda b: slice_of(F.col("pb"), b),
+        bands,
+    ).select("id_a", "id_b", "pa", "pb")
     return (
         cand.select(
             "id_a",

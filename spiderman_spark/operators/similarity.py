@@ -128,30 +128,25 @@ def embedding_neardup_lsh(
     def slice_of(col, b):
         return F.shiftright(col, b * bits_per_band).bitwiseAND(F.lit(mask))
 
-    # Min-band candidates (same construction as minhash_lsh_pairs): band b's
-    # self-join emits only pairs whose FIRST shared band slice is b, so each
-    # pair appears exactly once across the union and the old cross-band
-    # `.distinct()` — which shuffled the bands-times-inflated pair stream
-    # WITH both embedding vectors in the row — disappears.  The earlier-band
-    # filter needs nothing beyond the two sketch longs the rows already
-    # carry.
+    # Min-band candidates (dedup.minband_pair_union): the old cross-band
+    # `.distinct()` shuffled the bands-times-inflated pair stream WITH both
+    # embedding vectors in the row; the earlier-band filters need nothing
+    # beyond the two sketch longs the rows already carry.
+    from .dedup import minband_pair_union
+
     x = sk.select(
         F.col("did").alias("id_a"), F.col("vec").alias("va"), F.col("_sk").alias("ska")
     )
     y = sk.select(
         F.col("did").alias("id_b"), F.col("vec").alias("vb"), F.col("_sk").alias("skb")
     )
-    parts = []
-    for b in range(bands):
-        j = x.join(y, slice_of(F.col("ska"), b) == slice_of(F.col("skb"), b)).where(
-            F.col("id_a") < F.col("id_b")
-        )
-        for i in range(b):
-            j = j.where(slice_of(F.col("ska"), i) != slice_of(F.col("skb"), i))
-        parts.append(j.select("id_a", "va", "id_b", "vb"))
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    cand = minband_pair_union(
+        x,
+        y,
+        lambda b: slice_of(F.col("ska"), b),
+        lambda b: slice_of(F.col("skb"), b),
+        bands,
+    ).select("id_a", "va", "id_b", "vb")
     return (
         cand.select(
             "id_a",
@@ -162,16 +157,24 @@ def embedding_neardup_lsh(
     )
 
 
-def _projection_vec(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane from (plane, coord) hashes —
-    reproducible on any executor without shipping RNG state."""
+def _md5_unit_vec(salt: str, dim: int) -> list[float]:
+    """Deterministic pseudo-random vector in [-1, 1)^dim from md5 of
+    ``salt:coord`` — reproducible on any executor without shipping RNG
+    state, and reproducible as literals in the generated DuckDB oracles.
+    The ONE place the hash→float derivation lives (hyperplanes and IVF
+    anchors must agree with their oracle fixtures bit-for-bit)."""
     import hashlib
 
     out = []
     for c in range(dim):
-        h = int(hashlib.md5(f"proj:{plane}:{c}".encode()).hexdigest()[:8], 16)
+        h = int(hashlib.md5(f"{salt}:{c}".encode()).hexdigest()[:8], 16)
         out.append((h / 2**31) - 1.0)  # uniform-ish in [-1, 1)
     return out
+
+
+def _projection_vec(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from (plane, coord) hashes."""
+    return _md5_unit_vec(f"proj:{plane}", dim)
 
 
 def sign_sketch(vec_col, dim: int, planes: int = 16):
@@ -190,16 +193,7 @@ def anchor_centroids(dim: int, n: int) -> list[tuple[int, list[float]]]:
     """Deterministic pseudo-random centroids (cid, vector) from md5-of-
     (cid, coord) — same no-RNG-state trick as ``_projection_vec`` with a
     distinct salt, so Spark literals and oracle SQL literals agree exactly."""
-    import hashlib
-
-    out = []
-    for cid in range(n):
-        vec = []
-        for c in range(dim):
-            h = int(hashlib.md5(f"ivf:{cid}:{c}".encode()).hexdigest()[:8], 16)
-            vec.append((h / 2**31) - 1.0)
-        out.append((cid, vec))
-    return out
+    return [(cid, _md5_unit_vec(f"ivf:{cid}", dim)) for cid in range(n)]
 
 
 def _nearest_centroids(df, ident: str, vec: str, centroids, n: int):
@@ -339,44 +333,33 @@ def lsh_topk(
     bits_per_band = planes // bands
     mask = (1 << bits_per_band) - 1
 
-    def banded(df, ident, vec):
-        sk = sign_sketch(F.col(vec), dim, planes)
-        return df.select(
-            F.col(ident), F.col(vec), sk.alias("_sk")
-        ).select(
-            ident,
-            vec,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("_sk"), b * bits_per_band)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(ident, vec, "bb.band", "bb.bucket")
+    def slice_of(col, b):
+        return F.shiftright(col, b * bits_per_band).bitwiseAND(F.lit(mask))
 
-    q = banded(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "query_id",
-        "qv",
+    # Min-band candidates (dedup.minband_pair_union): each (query, neighbor)
+    # pair is emitted once at its first shared band, so no cross-band
+    # distinct of the vector-carrying candidate stream; the corpus side is
+    # never shuffled (broadcast query side in every per-band join).
+    from .dedup import minband_pair_union
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_sketch(F.col(vec_col), dim, planes).alias("skq"),
     )
-    c = banded(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "neighbor_id",
-        "cv",
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_sketch(F.col(vec_col), dim, planes).alias("skc"),
     )
-    cand = (
-        c.join(F.broadcast(q), ["band", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
-        .distinct()
-    )
+    cand = minband_pair_union(
+        c,
+        F.broadcast(q),
+        lambda b: slice_of(F.col("skc"), b),
+        lambda b: slice_of(F.col("skq"), b),
+        bands,
+        pair_predicate=F.col("query_id") != F.col("neighbor_id"),
+    ).select("query_id", "qv", "neighbor_id", "cv")
     scored = cand.select(
         "query_id",
         "neighbor_id",

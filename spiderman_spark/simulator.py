@@ -143,6 +143,14 @@ def simulate_crawl(
     for s in seeds:
         admit(s)
 
+    if middleware is not None:
+        # loop-invariant: the simulator is the parity oracle over entire
+        # corpora, so keep per-request work out of the fetch loop
+        from .functions.xxh64 import pick_rotating as _pick
+
+        _mw_uas = middleware.get("user_agents") or []
+        _mw_cks = middleware.get("cookies") or []
+
     rnd = 0
     while pending:
         rnd += 1
@@ -164,15 +172,11 @@ def simulate_crawl(
             if middleware is None:
                 crawl_order.append((rank, rnd, req.url, host, req.attempt))
             else:
-                from .functions.xxh64 import pick_rotating as _pick
-
-                uas = middleware.get("user_agents") or []
-                cks = middleware.get("cookies") or []
                 crawl_order.append(
                     (
                         rank, rnd, req.url, host, req.attempt,
-                        _pick(uas, req.url) if uas else "",
-                        _pick(cks, req.url) if cks else "",
+                        _pick(_mw_uas, req.url) if _mw_uas else "",
+                        _pick(_mw_cks, req.url) if _mw_cks else "",
                     )
                 )
             fetch_counts[(rnd, host)] = fetch_counts.get((rnd, host), 0) + 1

@@ -106,7 +106,13 @@ def q34_gram_hashes() -> pd.DataFrame:
         if not os.path.exists(path):
             continue
         for t in pq.read_table(path, columns=["text"]).column("text").to_pylist():
-            grams.update(re.split(r"\s+", (t or "").strip()))
+            # SUPERSET of the engine's tokens: Spark's Java \s and trim are
+            # ASCII-only while Python's are Unicode, so split with re.ASCII
+            # over both the raw and the Python-stripped text — extra grams
+            # are harmless (the oracle inner-joins on g), missing grams
+            # silently corrupt the DuckDB-side signature minima
+            for variant in ((t or ""), (t or "").strip()):
+                grams.update(re.split(r"\s+", variant, flags=re.ASCII))
     rows = [
         (i, g, xxh64_signed(f"{i}:{g}".encode()))
         for g in sorted(grams)

@@ -9,6 +9,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 TABLES = (
@@ -90,3 +91,36 @@ def test_fixture_files_current(tmp_path):
         fresh = pd.read_parquet(os.path.join(str(tmp_path), name))
         committed = pd.read_parquet(os.path.join(make_fixtures.FIXDIR, name))
         pd.testing.assert_frame_equal(fresh, committed)
+
+
+def test_q34_fixture_covers_engine_grams(spark):
+    """Every gram the ENGINE tokenizer (Java \\s semantics) produces over the
+    oracle-gate corpus must exist in the committed q34 hash fixture: the
+    oracle inner-joins on g, so a missing gram would silently corrupt the
+    DuckDB-side signature minima instead of failing loudly."""
+    import pandas as pd
+
+    from spiderman_spark.operators import dedup
+
+    fixture_grams = set(
+        pd.read_parquet(os.path.join(make_fixtures_dir(), "q34_gram_hashes.parquet"))
+        .g.unique()
+    )
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        engine_grams = {
+            r["g"]
+            for r in docs.select(
+                F.explode(dedup.word_ngrams(F.col("text"), 1)).alias("g")
+            )
+            .distinct()
+            .collect()
+        }
+        missing = engine_grams - fixture_grams
+        assert not missing, f"{sf}: engine grams absent from fixture: {sorted(missing)[:10]}"
+
+
+def make_fixtures_dir():
+    from . import make_fixtures
+
+    return make_fixtures.FIXDIR
