@@ -333,6 +333,18 @@ def q40_image_dedup_canonical(spark, sf_dir):
     )
 
 
+def q41_windowed_event_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the brief's watermark +
+    windowed-agg pattern): 10-minute epoch-aligned windows per event_type
+    over the events table.  The SAME function runs streaming with a
+    watermark (batch-vs-file-stream equality is pytest-asserted in
+    tests/test_streaming_stateful.py); the batch path here is directly
+    DuckDB-oracled via epoch arithmetic."""
+    from spiderman_spark.streaming import stateful
+
+    return stateful.windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
 def q39_bpe_token_count(spark, sf_dir):
     """BPE-ish token counting (the second tokenizer of the brief's 'whitespace
     + a BPE-ish regex' pair): simplified GPT-2 pre-tokenizer regex, identical
@@ -557,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_phash_neardup": q38_phash_neardup,
         "q39_bpe_token_count": q39_bpe_token_count,
         "q40_image_dedup_canonical": q40_image_dedup_canonical,
+        "q41_windowed_event_counts": q41_windowed_event_counts,
     }
 
 
@@ -654,6 +667,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q23_doc_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
+        ),
+        "q41_windowed_event_counts": (
+            "SELECT strftime(to_timestamp(CAST(floor(epoch(ts)/600)*600 AS BIGINT)),"
+            " '%Y-%m-%d %H:%M:%S') AS window_start,"
+            " event_type, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(round(sum(value)*100) AS BIGINT) AS value_sum_x100"
+            " FROM events GROUP BY 1, 2"
         ),
         "q39_bpe_token_count": (
             "SELECT doc_id,"
