@@ -54,15 +54,22 @@ def select_eligible(
     if budgets is not None:
         df = df.drop("max_per_round")
 
+    # per-host pick order: (priority DESC, seq) when the frontier carries a
+    # priority column (north-rule priority queue; NULL → 0), else pure FIFO.
+    # All-equal priorities reduce exactly to the reference's FIFO contract.
+    if "priority" in pending.columns:
+        order = [F.coalesce(F.col("priority"), F.lit(0)).desc(), F.col("seq")]
+    else:
+        order = [F.col("seq")]
     salted = df.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
-    w1 = Window.partitionBy("host", "_salt").orderBy("seq")
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     phase1 = salted.withColumn("_r1", F.row_number().over(w1))
     survivors = phase1.where(F.col("_r1") <= F.col("_budget"))
     losers = phase1.where(F.col("_r1") > F.col("_budget")).withColumn(
         "is_eligible", F.lit(False)
     )
 
-    w2 = Window.partitionBy("host").orderBy("seq")
+    w2 = Window.partitionBy("host").orderBy(*order)
     phase2 = survivors.withColumn("_r2", F.row_number().over(w2)).withColumn(
         "is_eligible", F.col("_r2") <= F.col("_budget")
     )

@@ -64,7 +64,7 @@ from ..tableio import Catalog
 
 FRONTIER_DDL = (
     "seq long, url string, host string, method string, callback string,"
-    " req_body string, meta_json string, attempt int"
+    " req_body string, meta_json string, attempt int, priority int"
 )
 URL_SEEN_DDL = "fp string, url_hash long, url string"
 CRAWL_ORDER_DDL = (
@@ -222,6 +222,7 @@ class CrawlEngine:
                 s.get("body", "") or "",
                 json.dumps(s.get("meta", {})),
                 0,
+                int(s.get("priority", 0)),
             )
             for i, s in enumerate(seeds)
         ]
@@ -270,6 +271,7 @@ class CrawlEngine:
             "callback": F.lit("list"),
             "req_body": F.lit(""),
             "meta_json": F.lit("{}"),
+            "priority": F.lit(0),
         }
         for c, d in defaults.items():
             if c not in seeds.columns:
@@ -286,7 +288,7 @@ class CrawlEngine:
                     F.substring_index("url", "://", -1), "/", 1
                 ).alias("host"),
                 "method", "callback", "req_body", "meta_json",
-                F.lit(0).alias("attempt"),
+                F.lit(0).alias("attempt"), F.col("priority"),
             )
         )
         if preserve_state:
@@ -370,7 +372,14 @@ class CrawlEngine:
         eligible = tagged.where("is_eligible").drop("is_eligible")
         deferred = tagged.where("NOT is_eligible").drop("is_eligible")
 
-        epart = ranks.range_prepare(eligible, ["seq"], nparts).persist()
+        # global fetch order = (priority DESC, seq): same total order the
+        # politeness windows used; _np (negated priority) makes it ascending
+        # for the range rank, and all-zero priorities reduce to pure FIFO
+        eligible = eligible.withColumn(
+            "_np", -F.coalesce(F.col("priority"), F.lit(0))
+        )
+        fetch_order = ["_np", "seq"]
+        epart = ranks.range_prepare(eligible, fetch_order, nparts).persist()
         eoffs, n_eligible = ranks.collect_offsets(epart)  # action 1 of 2
         if n_eligible == 0:
             epart.unpersist()
@@ -379,8 +388,8 @@ class CrawlEngine:
         self.round += 1
 
         ranked = self._with_middleware(
-            ranks.with_rank(epart, ["seq"], "rank", eoffs, base=self.rank_base)
-            .drop("_pid")
+            ranks.with_rank(epart, fetch_order, "rank", eoffs, base=self.rank_base)
+            .drop("_pid", "_np")
         )
 
         # fetch = join the small per-round batch INTO the big corpus scan
@@ -406,7 +415,7 @@ class CrawlEngine:
             not_ok.where(retry_pred & (F.col("attempt") < cfg.retry_times))
             .select(
                 "seq", "url", "host", "method", "callback", "req_body",
-                "meta_json", (F.col("attempt") + 1).alias("attempt"),
+                "meta_json", (F.col("attempt") + 1).alias("attempt"), "priority",
             )
         )
         failed = (
@@ -433,8 +442,23 @@ class CrawlEngine:
         parsed = parse_pages(pages, self.spec.parse).persist()
 
         # ---- child admission: dedup gate (D1) + deterministic seq assignment
-        reqs = requests_of(parsed).withColumn(
-            "host", F.substring_index(F.substring_index("url", "://", -1), "/", 1)
+        # every child carries its parent's round rank (_prank, for admission
+        # order + sparse seq blocks) and priority (children INHERIT parent
+        # priority — the scrapy default of request.priority propagation)
+        pmap = F.broadcast(
+            ranked.select(
+                F.col("seq").alias("parent_seq"),
+                F.col("rank").alias("_prank"),
+                F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
+            )
+        )
+        reqs = (
+            requests_of(parsed)
+            .withColumn(
+                "host",
+                F.substring_index(F.substring_index("url", "://", -1), "/", 1),
+            )
+            .join(pmap, "parent_seq")
         )
         if self.robots_rules is not None:
             rules = F.broadcast(
@@ -471,8 +495,10 @@ class CrawlEngine:
         nofilter_cbs = [cb for cb, dont in cfg.callbacks.items() if dont]
         nofilter = reqs.where(F.col("callback").isin(nofilter_cbs))
         gated = reqs.where(~F.col("callback").isin(nofilter_cbs))
-        # first-wins within the batch, in admission order
-        w_fp = Window.partitionBy("fp").orderBy("parent_seq", "child_idx")
+        # first-wins within the batch, in ADMISSION order = parent fetch
+        # order (_prank, child_idx) — equals (parent_seq, child_idx) under
+        # uniform priorities, and matches the simulator when they differ
+        w_fp = Window.partitionBy("fp").orderBy("_prank", "child_idx")
         gated = (
             gated.withColumn("_rn", F.row_number().over(w_fp))
             .where("_rn = 1")
@@ -498,19 +524,15 @@ class CrawlEngine:
         )
 
         admitted = nofilter.unionByName(gated)
-        # sparse seq assignment: parent's round-rank (broadcast map) spreads
-        # children into disjoint, ordered stride blocks — no global dense
-        # rank, hence no second driver action in the round
+        # sparse seq assignment: parent's round-rank (attached via pmap)
+        # spreads children into disjoint, ordered stride blocks — no global
+        # dense rank, hence no second driver action in the round
         stride = cfg.child_stride
-        rank_map = F.broadcast(
-            ranked.select(F.col("seq").alias("parent_seq"), F.col("rank").alias("_prank"))
-        )
         from pyspark.sql import Observation
 
         obs_children = Observation()
         children = (
-            admitted.join(rank_map, "parent_seq")
-            .select(
+            admitted.select(
                 (
                     F.lit(self.next_seq)
                     + (F.col("_prank") - F.lit(self.rank_base) - 1) * F.lit(stride)
@@ -518,7 +540,7 @@ class CrawlEngine:
                 ).alias("seq"),
                 "url", "host", "method", "callback",
                 F.col("body").alias("req_body"), "meta_json",
-                F.lit(0).alias("attempt"),
+                F.lit(0).alias("attempt"), "priority",
             )
             .observe(obs_children, F.count(F.lit(1)).alias("n"))
         )
@@ -638,7 +660,7 @@ class CrawlEngine:
         (
             foreign.select(
                 "url", "host", "method", "callback", "body", "meta_json",
-                "parent_seq", "child_idx", "_w",
+                "parent_seq", "child_idx", "priority", "_w",
             )
             .write.partitionBy("_w")
             .mode("overwrite")
@@ -703,6 +725,7 @@ class CrawlEngine:
                 "url", "host", "method", "callback",
                 F.col("body").alias("req_body"), "meta_json",
                 F.lit(0).alias("attempt"),
+                F.coalesce(F.col("priority"), F.lit(0)).alias("priority"),
             )
             self.catalog.table("frontier").append(self._sized(rows, n_new))
             new_seen = gated.select(

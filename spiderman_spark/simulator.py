@@ -58,6 +58,7 @@ class SimRequest:
     body: str = ""  # POST payload; part of the request fingerprint
     meta: dict = field(default_factory=dict)
     attempt: int = 0
+    priority: int = 0  # higher fetches first; ties FIFO by seq
 
 
 @dataclass
@@ -113,7 +114,7 @@ def simulate_crawl(
     fetch_counts: dict = {}
     rank = 0
 
-    def admit(req_dict: dict, attempt: int = 0) -> None:
+    def admit(req_dict: dict, attempt: int = 0, priority: int | None = None) -> None:
         nonlocal next_seq
         cb = req_dict.get("callback", "list")
         dont_filter = cbs.get(cb, False)
@@ -136,6 +137,9 @@ def simulate_crawl(
                 body=req_dict.get("body", "") or "",
                 meta=dict(req_dict.get("meta") or {}),
                 attempt=attempt,
+                priority=(
+                    int(req_dict.get("priority", 0)) if priority is None else priority
+                ),
             )
         )
         next_seq += 1
@@ -154,7 +158,7 @@ def simulate_crawl(
     rnd = 0
     while pending:
         rnd += 1
-        pending.sort(key=lambda r: r.seq)
+        pending.sort(key=lambda r: (-r.priority, r.seq))
         taken_per_host: dict[str, int] = {}
         eligible, deferred = [], []
         for req in pending:
@@ -211,7 +215,7 @@ def simulate_crawl(
                         ):
                             failed.append((child["url"], "robots"))
                             continue
-                    admit(child)
+                    admit(child, priority=req.priority)
             else:  # 'file' downloader phase: no children, success recorded
                 items.setdefault("_downloaded", []).append(
                     {"url": req.url, "attempt": req.attempt}

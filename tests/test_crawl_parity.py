@@ -253,3 +253,38 @@ def test_robots_optin_parity(spark, workdir):
     assert all(
         "/detail/" in r["url"] or "/img/" in r["url"] for r in blocked.collect()
     )
+
+
+def test_priority_frontier_parity(spark, workdir):
+    """North-rule priority queue: frontier ordered by (priority DESC, seq).
+    Mixed seed priorities (children inherit their parent's) must match the
+    simulator bit-for-bit, and must actually reorder fetches relative to the
+    all-default FIFO run."""
+    spec = cg.UNIT
+    corpus_df = cg.build_crawl_corpus(spark, spec)
+    seeds = sim.make_seeds(spec)
+    for i, s in enumerate(seeds):
+        s["priority"] = [0, 5, 1][i % 3]
+    engine = CrawlEngine(
+        spark, corpus_df, workdir,
+        CrawlConfig(callbacks=dict(DEMO_CBS), default_budget=2),
+    )
+    engine.seed(seeds)
+    summary = engine.run()
+    ref = sim.simulate_crawl(
+        sim.corpus_as_dict(spec), seeds,
+        politeness=sim.Politeness(max_per_round=2),
+        callbacks={**DEMO_CBS, "file": False},
+    )
+    assert_parity(engine, summary, ref)
+    # priorities genuinely reorder: the same crawl with default priorities
+    # must fetch in a different order (same multiset of URLs)
+    ref_fifo = sim.simulate_crawl(
+        sim.corpus_as_dict(spec), sim.make_seeds(spec),
+        politeness=sim.Politeness(max_per_round=2),
+        callbacks={**DEMO_CBS, "file": False},
+    )
+    assert [t[2] for t in ref.crawl_order] != [t[2] for t in ref_fifo.crawl_order]
+    assert sorted(t[2] for t in ref.crawl_order) == sorted(
+        t[2] for t in ref_fifo.crawl_order
+    )
