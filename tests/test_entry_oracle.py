@@ -106,7 +106,8 @@ def test_q34_fixture_covers_engine_grams(spark):
         pd.read_parquet(os.path.join(make_fixtures_dir(), "q34_gram_hashes.parquet"))
         .g.unique()
     )
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    candidates = [SF_DIR, os.path.join(os.path.dirname(SF_DIR), "sf0.001")]
+    for sf in [d for d in dict.fromkeys(candidates) if os.path.isdir(d)]:
         docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
         engine_grams = {
             r["g"]
