@@ -460,6 +460,8 @@ def bench_scaling(full: bool = False) -> dict:
             # interleaved pairs (with per-window drift probes alongside)
             # beats any single window's verdict
             out["crawl_xl"] = _merge_protocol(prev, out["crawl_xl"])
+            # keep stdout consistent with the store/BASELINE.md after merge
+            out["crawl_scaling_efficiency"] = out["crawl_xl"]["median_efficiency"]
         else:
             # replacing: never discard measurements — fold the old run into
             # the protocol's cross-session history archive (rendered as
@@ -560,8 +562,17 @@ def _history_note(store: dict, key: str, cur: dict) -> str:
         f"\"{hist['verdict']}\".  Pooling heterogeneous machine windows "
         f"manufactures spread the protocol is designed to exclude, so the "
         f"PRIMARY table is a single window (probe drift "
-        f"{cur['probe_drift_ratio']}×); the archived medians agree with it.\n"
+        f"{cur['probe_drift_ratio']}×); the archived median "
+        f"{_agreement(hist, cur)} it.\n"
     )
+
+
+def _agreement(hist: dict, cur: dict) -> str:
+    """Computed, never asserted: same side of the 0.8 criterion AND within
+    0.1 of the current median → 'agrees with'; otherwise say it differs."""
+    h, c = hist["median_efficiency"], cur["median_efficiency"]
+    same_side = (h >= 0.8) == (c >= 0.8)
+    return "agrees with" if same_side and abs(h - c) <= 0.1 else "DIFFERS from"
 
 
 def _pair_table(cx: dict) -> str:

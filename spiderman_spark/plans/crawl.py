@@ -661,7 +661,8 @@ class CrawlEngine:
             foreign.select(
                 "url", "host", "method", "callback", "body", "meta_json",
                 "parent_seq", "child_idx", "priority",
-                F.col("_prank").alias("parent_rank"), "_w",
+                F.col("_prank").alias("parent_rank"),
+                F.lit(w).alias("from_worker"), "_w",
             )
             .write.partitionBy("_w")
             .mode("overwrite")
@@ -704,13 +705,16 @@ class CrawlEngine:
         nofilter_cbs = [cb for cb, dont in self.cfg.callbacks.items() if dont]
         nofilter = reqs.where(F.col("callback").isin(nofilter_cbs))
         gated = reqs.where(~F.col("callback").isin(nofilter_cbs))
-        # admission order mirrors the EXPORTER's fetch order (parent_rank,
-        # child_idx; parent_seq breaks ties across same-rank drops from
-        # different exporters) — identical to (parent_seq, child_idx) under
-        # uniform priorities.  Cross-worker duplicate resolution remains
-        # arrival-order dependent across separate ingests, exactly like
-        # racing RPUSHes from sibling scrapy processes upstream.
-        ingest_order = ["parent_rank", "child_idx", "parent_seq"]
+        # admission order mirrors each EXPORTER's fetch order (parent_rank,
+        # child_idx), totally ordered across exporters by (from_worker,
+        # parent_seq) — per-worker ranks can collide, so the worker id is
+        # the true cross-exporter tiebreak.  NOTE: parent_rank order equals
+        # parent_seq order only within one exporter round; a retried parent
+        # fetches at a later global rank than its seq suggests.  Cross-worker
+        # duplicate resolution remains arrival-order dependent across
+        # separate ingests, exactly like racing RPUSHes from sibling scrapy
+        # processes upstream.
+        ingest_order = ["parent_rank", "child_idx", "from_worker", "parent_seq"]
         w_fp = Window.partitionBy("fp").orderBy(*ingest_order)
         gated = (
             gated.withColumn("_rn", F.row_number().over(w_fp))
