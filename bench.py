@@ -353,7 +353,7 @@ def calibration_probe() -> float:
         spark.stop()
 
 
-def bench_scaling(full: bool = False) -> dict:
+def bench_scaling(full: bool = False, exec_only: bool = False) -> dict:
     """North-rule N→4N evidence protocols (no real cluster in the sandbox).
 
     PRIMARY: paired-interleaved legs (round-2 verdict #1).  The crawl
@@ -369,7 +369,9 @@ def bench_scaling(full: bool = False) -> dict:
 
     ``full=True`` additionally re-runs the executor-process protocols
     (CrawlFleet 1x8 vs 4x8 worker JVMs; image pipeline 1x8 vs 4x8 shard
-    JVMs) — ~25 extra minutes.
+    JVMs) — ~25 extra minutes.  ``exec_only=True`` (``--scaling-exec``)
+    runs ONLY those executor-process protocols, leaving the stored
+    interleaved crawl tables untouched.
     """
     from spiderman_spark import corpusgen as cg
     from spiderman_spark import simulator as sim
@@ -392,6 +394,9 @@ def bench_scaling(full: bool = False) -> dict:
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
     )
     ratio = hi / lo
+    if exec_only:
+        full = True
+        pairs = 0
     legs, probes = [], [calibration_probe()]
     for pair in range(pairs):
         for cores in (lo, hi):
@@ -409,8 +414,10 @@ def bench_scaling(full: bool = False) -> dict:
         )
         for i in range(pairs)
     ]
-    out = {"crawl_xl": _protocol_stats(lo, hi, legs, pair_effs, probes)}
-    out["crawl_scaling_efficiency"] = out["crawl_xl"]["median_efficiency"]
+    out = {}
+    if pairs:
+        out["crawl_xl"] = _protocol_stats(lo, hi, legs, pair_effs, probes)
+        out["crawl_scaling_efficiency"] = out["crawl_xl"]["median_efficiency"]
 
     if full:
         from spiderman_spark.plans import fleet as fleetmod
@@ -453,7 +460,7 @@ def bench_scaling(full: bool = False) -> dict:
     suffix = "" if specname == "XL" else f"_{specname.lower()}"
     key = f"crawl_{lo}to{hi}{suffix}"
     prev = store.get(key)
-    if prev and prev.get("lo") == lo and prev.get("hi") == hi:
+    if "crawl_xl" in out and prev and prev.get("lo") == lo and prev.get("hi") == hi:
         if os.environ.get("SPARK_GRAFT_SCALING_APPEND") == "1":
             # accumulate pairs across sessions instead of replacing: the
             # protocol's whole point is that the MEDIAN over many
@@ -470,7 +477,8 @@ def bench_scaling(full: bool = False) -> dict:
             store[f"{key}_history"] = (
                 _merge_protocol(hist, prev) if hist else prev
             )
-    store[key] = out["crawl_xl"]
+    if "crawl_xl" in out:
+        store[key] = out["crawl_xl"]
     if full:
         store["fleet"] = {
             "N": out["fleet"]["N"], "4N": out["fleet"]["4N"],
@@ -944,6 +952,9 @@ without selection.
 if __name__ == "__main__":
     if "-h" in sys.argv or "--help" in sys.argv:
         print(__doc__)
+        sys.exit(0)
+    if "--scaling-exec" in sys.argv:
+        print(json.dumps(bench_scaling(exec_only=True), default=str))
         sys.exit(0)
     if "--scaling-full" in sys.argv:
         print(json.dumps(bench_scaling(full=True), default=str))
