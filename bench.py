@@ -480,6 +480,12 @@ def bench_scaling(full: bool = False, exec_only: bool = False) -> dict:
     if "crawl_xl" in out:
         store[key] = out["crawl_xl"]
     if full:
+        # executor-process protocols have no pair structure to merge, so
+        # replacement archives the prior run onto a history LIST — data is
+        # never discarded (mirrors the crawl protocols' history keys)
+        for k in ("fleet", "image"):
+            if k in store:
+                store[f"{k}_history"] = store.get(f"{k}_history", []) + [store[k]]
         store["fleet"] = {
             "N": out["fleet"]["N"], "4N": out["fleet"]["4N"],
             "eff": out["fleet_scaling_efficiency"],
