@@ -940,6 +940,15 @@ inputs):
 The same interference inflated identical single jobs 28 s → 127 s → 389 s
 across the session.
 
+Round-3 cross-window addendum: re-measuring the same executor protocols as
+windows quieten shows the co-residency penalty shrink monotonically — fleet
+N→4N efficiency 0.13 → 0.239 → 0.279 (4N overtaking N in absolute
+throughput in the quietest window), image 0.091 → 0.209 → 0.248.  The
+engine is identical across these runs; only the machine window differs
+(probe series in each archived run, `*_history` store keys).  That is the
+direct experimental confirmation that the degradation is host-state
+interference, not engine structure.
+
 ### S5 — what this means for the 10^10 frontier
 
 The engine-side scaling levers are all in place and asserted in CI: no
