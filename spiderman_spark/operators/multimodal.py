@@ -224,6 +224,24 @@ def phash_neardup_pairs(
     """
     from pyspark.sql import functions as F
 
+    if 64 % bands != 0:
+        # bands=3 would leave 64 - 3*21 = 1 top bit outside every band:
+        # a pair differing only there would NEVER become a candidate —
+        # silent recall loss, so reject instead
+        raise ValueError(f"bands must divide 64 exactly (got {bands})")
+    if max_hamming >= bands:
+        # the pigeonhole guarantee (some band identical) needs strictly
+        # fewer differing bits than bands; beyond it the operator is merely
+        # probabilistic — legal, but never silent
+        import warnings
+
+        warnings.warn(
+            f"phash_neardup_pairs: max_hamming={max_hamming} >= bands={bands} "
+            "breaks the pigeonhole losslessness guarantee — pairs whose "
+            "differing bits touch every band will be missed (probabilistic "
+            "recall only); raise bands for exact results",
+            stacklevel=2,
+        )
     bits = 64 // bands
     mask = (1 << bits) - 1
 

@@ -258,11 +258,15 @@ def ivf_topk(
         centroids,
         nprobe,
     )
+    # No distinct: corpus rows are assigned to exactly ONE list (n=1 above)
+    # and a query probes ``nprobe`` DISTINCT cids, so a (query_id,
+    # neighbor_id) pair can arise at most once by construction — a distinct
+    # here would shuffle the vector-carrying candidate stream for nothing
+    # (uniqueness is pytest-asserted; revisit if assignment ever probes >1).
     cand = (
         c.join(F.broadcast(q), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
-        .distinct()
     )
     scored = cand.select(
         "query_id",

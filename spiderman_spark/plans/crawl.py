@@ -444,7 +444,9 @@ class CrawlEngine:
         # ---- child admission: dedup gate (D1) + deterministic seq assignment
         # every child carries its parent's round rank (_prank, for admission
         # order + sparse seq blocks) and priority (children INHERIT parent
-        # priority — the scrapy default of request.priority propagation)
+        # priority — this engine's chosen extension semantics, simulator-
+        # parity-tested; scrapy itself defaults callback Requests to
+        # priority=0 unless DEPTH_PRIORITY adjusts them)
         pmap = F.broadcast(
             ranked.select(
                 F.col("seq").alias("parent_seq"),
