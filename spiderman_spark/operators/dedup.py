@@ -153,8 +153,51 @@ def band_bucket(sig_col_name: str, b: int, rows_per_band: int):
     )
 
 
+def _hot_buckets(x: DataFrame, slice_a, bands: int, cap: int, max_hot: int):
+    """One counting pass over the x side: per-(band, bucket) row counts,
+    returning {band: {bucket_str: count}} for buckets over ``cap``.
+
+    Narrow posexplode of the per-row bucket array → map-side partially
+    aggregated count keyed by (band, bucket) → filter > cap, so only the
+    (by definition few: ≤ rows/cap per band) oversize keys ever reach the
+    driver.  Bucket values are compared as strings so every slice type
+    (md5 hex, sketch longs) shares one code path."""
+    counted = (
+        x.select(
+            F.posexplode(
+                F.array(*[slice_a(b).cast("string") for b in range(bands)])
+            ).alias("_band", "_bucket")
+        )
+        .groupBy("_band", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > cap)
+    )
+    rows = counted.limit(max_hot + 1).collect()
+    if len(rows) > max_hot:
+        raise RuntimeError(
+            f"minband_pair_union: more than {max_hot} oversize buckets at "
+            f"max_bucket_rows={cap} — the corpus is degenerate at this cap; "
+            "raise max_bucket_rows or pre-aggregate the duplicate keys"
+        )
+    hot: dict[int, dict[str, int]] = {}
+    for r in rows:
+        hot.setdefault(int(r["_band"]), {})[r["_bucket"]] = int(r["_n"])
+    return hot
+
+
 def minband_pair_union(
-    x: DataFrame, y: DataFrame, slice_a, slice_b, bands: int, pair_predicate=None
+    x: DataFrame,
+    y: DataFrame,
+    slice_a,
+    slice_b,
+    bands: int,
+    pair_predicate=None,
+    max_bucket_rows: int | None = None,
+    oversize_policy: str = "salt",
+    salt_col_a: str | None = None,
+    max_salt: int = 64,
+    max_hot_buckets: int = 4096,
+    stats_out: dict | None = None,
 ):
     """Exactly-once banded candidate pairs: per-band self-join keyed on band
     b's bucket, emitting a pair only when NO earlier band shares a bucket, so
@@ -170,15 +213,94 @@ def minband_pair_union(
     the joined rows already carry, so the returned union flows narrow into
     the caller's verify.  Shared by the MinHash, sign-sketch-embedding,
     ANN-LSH, and phash near-dup operators — the exactly-once invariant lives
-    here once."""
+    here once.
+
+    Hot-bucket guard (``max_bucket_rows``): the per-band joins assume bucket
+    groups stay tiny; a degenerate corpus (millions of near-empty documents
+    sharing one signature, solid-color thumbnails sharing a phash band)
+    makes ONE bucket key quadratic in the verify input.  With a cap set, a
+    single narrow counting pass finds buckets whose x-side group exceeds it
+    and applies ``oversize_policy``:
+
+    * ``'salt'`` (exact, the default): oversize buckets join in a separate
+      salted branch — x rows spread over ``ceil(n/cap)`` salts via
+      ``xxhash64(salt_col_a)``, y rows replicated across salts — so the
+      SAME pair set is produced but no task ever owns the whole m×m group.
+      Requires ``salt_col_a`` (a per-row-distinct x column).
+    * ``'skip'``: oversize buckets are excluded from their band's join and
+      LOGGED (never silent); the earlier-band filters treat a skipped band
+      as not-shared, so a pair still surfaces at its first non-hot shared
+      band.  Pairs whose every shared band is hot are dropped — recall
+      loss, bounded and reported via ``stats_out``/logging.
+
+    ``stats_out``: optional dict filled with
+    ``{"hot": {band: {bucket: n}}, "policy", "salt_factor": {band: s}}``."""
+    import logging
+    import math
+
     if pair_predicate is None:
         pair_predicate = F.col("id_a") < F.col("id_b")
+    hot: dict[int, dict[str, int]] = {}
+    if max_bucket_rows is not None:
+        if oversize_policy not in ("salt", "skip"):
+            raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
+        hot = _hot_buckets(x, slice_a, bands, max_bucket_rows, max_hot_buckets)
+        if hot and oversize_policy == "salt" and salt_col_a is None:
+            raise ValueError(
+                "minband_pair_union: oversize buckets found but no "
+                "salt_col_a given for the exact salted branch — pass a "
+                "per-row-distinct x column, or oversize_policy='skip'"
+            )
+        if hot:
+            # the no-silent-caps rule: oversize buckets are always reported
+            logging.getLogger(__name__).warning(
+                "minband_pair_union: %d oversize bucket(s) over cap %d "
+                "(policy=%s): %s",
+                sum(len(v) for v in hot.values()),
+                max_bucket_rows,
+                oversize_policy,
+                {b: {"buckets": len(v), "rows": sum(v.values())} for b, v in hot.items()},
+            )
+    if stats_out is not None:
+        stats_out["hot"] = hot
+        stats_out["policy"] = oversize_policy if max_bucket_rows else None
+        stats_out["salt_factor"] = {}
+
+    def earlier_band_filters(j, b):
+        for i in range(b):
+            neq = slice_a(i) != slice_b(i)
+            if oversize_policy == "skip" and hot.get(i):
+                # band i skipped this bucket, so it did NOT emit there —
+                # treat a hot earlier band as not-shared
+                neq = neq | slice_a(i).cast("string").isin(list(hot[i]))
+            j = j.where(neq)
+        return j
+
     parts = []
     for b in range(bands):
-        j = x.join(y, slice_a(b) == slice_b(b)).where(pair_predicate)
-        for i in range(b):
-            j = j.where(slice_a(i) != slice_b(i))
-        parts.append(j)
+        xb, yb = x, y
+        if hot.get(b):
+            hot_b = list(hot[b])
+            xb = xb.where(~slice_a(b).cast("string").isin(hot_b))
+            yb = yb.where(~slice_b(b).cast("string").isin(hot_b))
+        j = xb.join(yb, slice_a(b) == slice_b(b)).where(pair_predicate)
+        parts.append(earlier_band_filters(j, b))
+        if hot.get(b) and oversize_policy == "salt":
+            hot_b = list(hot[b])
+            s = int(min(max_salt, math.ceil(max(hot[b].values()) / max_bucket_rows)))
+            s = max(s, 2)
+            if stats_out is not None:
+                stats_out["salt_factor"][b] = s
+            xh = x.where(slice_a(b).cast("string").isin(hot_b)).withColumn(
+                "_hsx", F.pmod(F.xxhash64(F.col(salt_col_a)), F.lit(s)).cast("int")
+            )
+            yh = y.where(slice_b(b).cast("string").isin(hot_b)).withColumn(
+                "_hsy", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+            )
+            jh = xh.join(
+                yh, (slice_a(b) == slice_b(b)) & (F.col("_hsx") == F.col("_hsy"))
+            ).where(pair_predicate)
+            parts.append(earlier_band_filters(jh, b).drop("_hsx", "_hsy"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -197,6 +319,9 @@ def minhash_lsh_pairs(
     broadcast_grams: bool | None = None,
     broadcast_max_rows: int = 2_000_000,
     materialize: bool = True,
+    max_bucket_rows: int | None = 8192,
+    oversize_policy: str = "salt",
+    lsh_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded LSH, then exact Jaccard verify on candidates.
 
@@ -222,7 +347,14 @@ def minhash_lsh_pairs(
     ``materialize=True`` (default) computes the verified pairs eagerly
     (``localCheckpoint``) and unpersists the shingle cache before returning —
     repeated calls leak nothing (round-2 ADVICE).  ``materialize=False``
-    returns the lazy plan (for ``explain`` inspection) and never persists."""
+    returns the lazy plan (for ``explain`` inspection) and never persists.
+
+    ``max_bucket_rows``/``oversize_policy``: hot-bucket guard for the banded
+    joins (see ``minband_pair_union``) — with the default exact 'salt'
+    policy the pair set is unchanged, but a degenerate corpus (mass-
+    duplicated signatures) can no longer hand one task a quadratic bucket.
+    The guard's counting pass is an action, so it is disabled in
+    plan-inspection mode (``materialize=False``)."""
     rows_per_band = k // bands
     sh = df.select(
         F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
@@ -278,6 +410,10 @@ def minhash_lsh_pairs(
         lambda b: F.col(f"xa{b}"),
         lambda b: F.col(f"yb{b}"),
         bands,
+        max_bucket_rows=max_bucket_rows if materialize else None,
+        oversize_policy=oversize_policy,
+        salt_col_a="id_a",
+        stats_out=lsh_stats,
     ).select("id_a", "id_b")
     if materialize:
         # plan barrier, not just a cache: left open, Catalyst pushes the

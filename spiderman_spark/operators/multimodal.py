@@ -207,6 +207,8 @@ def phash_neardup_pairs(
     bands: int = 4,
     id_col: str = "image_id",
     phash_col: str = "phash",
+    max_bucket_rows: int | None = 8192,
+    oversize_policy: str = "salt",
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash banding:
     (id_a, id_b, hamming) with id_a < id_b and hamming <= ``max_hamming``.
@@ -261,6 +263,9 @@ def phash_neardup_pairs(
         lambda b: slice_of(F.col("pa"), b),
         lambda b: slice_of(F.col("pb"), b),
         bands,
+        max_bucket_rows=max_bucket_rows,
+        oversize_policy=oversize_policy,
+        salt_col_a="id_a",
     ).select("id_a", "id_b", "pa", "pb")
     return (
         cand.select(

@@ -108,6 +108,8 @@ def embedding_neardup_lsh(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = 8192,
+    oversize_policy: str = "salt",
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane sign sketch →
     per-band bucket self-joins (min-band, exactly-once) → exact cosine verify
@@ -116,7 +118,11 @@ def embedding_neardup_lsh(
     Cost is O(rows × planes) sketching + per-band joins keyed by the sketch
     slice, whose groups stay small; the pair stream itself is never shuffled.
     Near-identical vectors agree on nearly all sign bits, so recall at high
-    thresholds is excellent (pytest-measured vs the exact baseline)."""
+    thresholds is excellent (pytest-measured vs the exact baseline).
+    ``max_bucket_rows``: hot-bucket guard (``dedup.minband_pair_union``) —
+    the default exact 'salt' policy keeps the pair set identical while
+    bounding any one bucket's join group (e.g. a mass-duplicated embedding
+    collapsing every sketch band onto one key)."""
     bits_per_band = planes // bands
     mask = (1 << bits_per_band) - 1
     sk = df.select(
@@ -146,6 +152,9 @@ def embedding_neardup_lsh(
         lambda b: slice_of(F.col("ska"), b),
         lambda b: slice_of(F.col("skb"), b),
         bands,
+        max_bucket_rows=max_bucket_rows,
+        oversize_policy=oversize_policy,
+        salt_col_a="id_a",
     ).select("id_a", "va", "id_b", "vb")
     return (
         cand.select(
@@ -328,10 +337,14 @@ def lsh_topk(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = 8192,
+    oversize_policy: str = "salt",
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band with the query,
     exact cosine re-rank on candidates only.  Bands = ``bands`` slices of the
-    ``planes``-bit sign sketch."""
+    ``planes``-bit sign sketch.  ``max_bucket_rows``: hot-bucket guard over
+    the CORPUS side's band groups (``dedup.minband_pair_union``; exact
+    'salt' policy by default)."""
     from pyspark.sql import Window
 
     bits_per_band = planes // bands
@@ -363,6 +376,9 @@ def lsh_topk(
         lambda b: slice_of(F.col("skq"), b),
         bands,
         pair_predicate=F.col("query_id") != F.col("neighbor_id"),
+        max_bucket_rows=max_bucket_rows,
+        oversize_policy=oversize_policy,
+        salt_col_a="neighbor_id",
     ).select("query_id", "qv", "neighbor_id", "cv")
     scored = cand.select(
         "query_id",

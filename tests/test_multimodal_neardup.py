@@ -178,7 +178,7 @@ def test_phash_band_validation(spark, images):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         mm.phash_neardup_pairs(images, max_hamming=3, bands=4)
-    assert not w
+    assert not any("pigeonhole" in str(x.message) for x in w)
 
 
 def test_resize_upscale_no_nan(spark, images):
