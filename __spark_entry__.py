@@ -233,7 +233,7 @@ def q34_minhash_lsh_fast(spark, sf_dir):
     """MinHash+LSH, xxhash64 fast family — the production/bench path (one
     JVM xxhash64 per gram-permutation instead of md5 hex).  Same pipeline as
     q18; the oracle joins the per-gram hash fixture materialized by the
-    independent pure-Python xxh64 (tests/make_fixtures.py), then reproduces
+    independent pure-Python xxh64 (spiderman_spark/oraclegen.py), then
     banding + verify in SQL."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
@@ -301,9 +301,9 @@ def q38_phash_neardup(spark, sf_dir):
     candidates → exact bit_count(xor) verify.  Lossless for hamming <
     bands by pigeonhole; DuckDB-oracled with identical bitwise semantics
     (arithmetic shift + mask, two's-complement bit_count)."""
-    fix = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
-    )
+    from spiderman_spark import oraclegen
+
+    fix = oraclegen.ensure_fixtures()
     images = spark.read.parquet(os.path.join(fix, "q28_images.parquet"))
     return multimodal.phash_neardup_pairs(images, max_hamming=3)
 
@@ -315,9 +315,9 @@ def q40_image_dedup_canonical(spark, sf_dir):
     singletons kept as their own representative.  Output: (rep, cluster_size)
     — rep is the minimum image_id of its cluster.  Oracled by q38's pair SQL
     feeding q37's recursive-CTE component resolution in DuckDB."""
-    fix = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
-    )
+    from spiderman_spark import oraclegen
+
+    fix = oraclegen.ensure_fixtures()
     images = spark.read.parquet(os.path.join(fix, "q28_images.parquet"))
     pairs = multimodal.phash_neardup_pairs(images, max_hamming=3)
     comp = dedup.neardup_components(pairs)
@@ -706,10 +706,12 @@ def oracle_sql() -> dict[str, str]:
         # literals; the dot products are written as explicit left-assoc sums
         # so DuckDB folds doubles in the same order Spark's aggregate() does.
         # q27/q28: oracled below against SIMULATOR-derived parquet fixtures
-        # (tests/make_fixtures.py) — plus bit-exact engine-vs-simulator
+        # (spiderman_spark/oraclegen.py) — plus bit-exact engine-vs-simulator
         # parity in tests/test_crawl_parity.py.
     }
-    _fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+    from spiderman_spark import oraclegen
+
+    _fix = oraclegen.ensure_fixtures()
     # q38 oracle: phash band near-dup over the q28 fixture.  Arithmetic >>
     # plus & mask and two's-complement bit_count(xor) are bit-identical
     # between DuckDB and Spark for band shifts <= 48 (verified semantics).
@@ -792,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # generated q34 oracle: xxhash64 MinHash family.  DuckDB cannot evaluate
     # xxhash64, so per-(perm, gram) hashes come from a fixture parquet written
-    # by the INDEPENDENT pure-Python xxh64 (tests/make_fixtures.py; the two
+    # by the INDEPENDENT pure-Python xxh64 (spiderman_spark/oraclegen.py; the two
     # implementations are cross-checked in tests/test_xxh64.py).  Everything
     # downstream — permutation minima, md5 band buckets over the stringified
     # longs, candidate join, exact Jaccard verify — is computed by DuckDB.
