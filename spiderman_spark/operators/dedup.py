@@ -455,20 +455,34 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    algorithm: str = "minlabel",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(did, rep): connected components over near-dup pairs — the cluster-
     resolution step after LSH pair generation, so a pipeline can keep ONE
     canonical document (the minimum id) per near-dup cluster.
 
-    Min-label propagation: every vertex starts labelled with itself; each
-    iteration pushes labels across (symmetrized) edges and keeps the minimum;
-    stop when no label changes.  Per iteration: one shuffle keyed by vertex
-    (map-side combined min), one small count action, and a localCheckpoint
-    to cut lineage — rounds needed = graph diameter, which for near-dup
-    graphs (cliques plus short bridges) is small.  At extreme scale the
-    alternating large-star/small-star variant halves rounds; the propagation
-    loop here keeps the same shuffle structure and is exact for any graph.
-    """
+    ``algorithm='minlabel'`` (default): every vertex starts labelled with
+    itself; each iteration pushes labels across (symmetrized) edges and
+    keeps the minimum; stop when no label changes.  Per iteration: one
+    shuffle keyed by vertex (map-side combined min), one small count action,
+    and a localCheckpoint to cut lineage — rounds needed = graph diameter,
+    which for near-dup graphs (cliques plus short bridges) is small.
+
+    ``algorithm='star'``: the alternating large-star/small-star rounds of
+    Kiveris et al. ("Connected Components in MapReduce and Beyond") — each
+    round shortcuts paths toward the component minimum instead of moving
+    labels one hop, so long-diameter graphs converge in ~log(diameter)
+    rounds instead of diameter (property-tested equal to minlabel; the
+    round-count win is asserted on a path-graph fixture).  Convergence is
+    checked once per alternating round via an exact edge-set comparison.
+
+    ``stats_out``: optional dict; receives ``{"iterations": n}``.
+    Both variants fail loud on non-convergence."""
+    if algorithm == "star":
+        return _components_star(pairs, id_a, id_b, max_iters, stats_out)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint()
@@ -478,8 +492,8 @@ def neardup_components(
         .withColumn("lbl", F.col("v"))
         .localCheckpoint()
     )
-    changed = -1
-    for _ in range(max_iters):
+    changed, it = -1, 0
+    for it in range(1, max_iters + 1):
         pushed = (
             edges.join(lab, edges["a"] == lab["v"])
             .select(F.col("b").alias("v"), "lbl")
@@ -499,6 +513,8 @@ def neardup_components(
         lab = new
         if changed == 0:
             break
+    if stats_out is not None:
+        stats_out["iterations"] = it
     if changed != 0:
         # an un-converged labelling is NOT a component map — fail loud
         raise RuntimeError(
@@ -506,6 +522,86 @@ def neardup_components(
             f"({changed} labels still changing); raise max_iters"
         )
     return lab.select(F.col("v").alias("did"), F.col("lbl").alias("rep"))
+
+
+def _components_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int, stats_out: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Edges live canonically oriented (u > v).  Per alternating round:
+
+    * large-star — over the symmetrized view, each node connects its
+      STRICTLY GREATER neighbors to m = min(neighbors ∪ self): one
+      min-aggregate shuffle + one join, output re-oriented (always v > u ≥
+      m).  This is the pointer-shortcutting step.
+    * small-star — over the oriented view, each node connects its smaller
+      neighbors AND itself to m = min(smaller neighbors): same shuffle
+      shape.  Keeps the forest shallow.
+
+    At the fixpoint the edge set is a union of stars centered at component
+    minima, so labels read off directly: (u → its center v), centers and
+    isolated-by-orientation nodes label themselves.  Convergence test is an
+    EXACT set comparison (count + anti-join), run once per alternating
+    round — half the driver actions of a per-pass check."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    E = (
+        e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = E.count()
+    vertices = (
+        E.select(F.col("u").alias("did"))
+        .union(E.select(F.col("v").alias("did")))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged, it = n_edges == 0, 0
+    for it in range(1, max_iters + 1):
+        if converged:
+            break
+        # large-star
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star (input already oriented u > v by the large-star output)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_n = ss.count()
+        converged = new_n == n_edges and ss.join(E, ["u", "v"], "left_anti").isEmpty()
+        E, n_edges = ss, new_n
+    if stats_out is not None:
+        stats_out["iterations"] = it
+    if not converged:
+        raise RuntimeError(
+            f"neardup_components(star): not converged after {max_iters} "
+            "alternating rounds; raise max_iters"
+        )
+    centers = E.select(F.col("u").alias("did"), F.col("v").alias("rep"))
+    return (
+        vertices.join(centers, "did", "left")
+        .select("did", F.coalesce(F.col("rep"), F.col("did")).alias("rep"))
+    )
 
 
 HEX_CHARS = "0123456789abcdef"
