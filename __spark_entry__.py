@@ -966,15 +966,22 @@ def oracle_sql() -> dict[str, str]:
         " CAST(o_orderkey AS VARCHAR)) AS url FROM orders)"
         f" SELECT o_orderkey, url, NOT ({_dirty}) AS usable FROM u"
     )
-    # generated oracles with the same argmax/arith semantics as the Spark side
+    # generated oracles with the same argmax/arith semantics as the Spark
+    # side: hits count LOWERCASED tokens, the per-language score is
+    # floor(hits*10000/list_len) (ratio-normalized — list lengths vary), and
+    # list_max over {'s','l'} structs is the same (score, lang-code)
+    # lexicographic total order Spark's array_max uses
     from spiderman_spark.operators.textstats import LANG_STOPWORDS
 
     hit = lambda words: (
         "len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
-        f" x -> list_contains({words!r}, x)))"
+        f" x -> list_contains({words!r}, lower(x))))"
+    )
+    score = lambda la, ws: (
+        f"CAST(FLOOR({hit(list(ws))} * 10000.0 / {len(ws)}) AS BIGINT)"
     )
     structs = ", ".join(
-        f"{{'s': {hit(list(ws))}, 'l': '{la}'}}" for la, ws in LANG_STOPWORDS.items()
+        f"{{'s': {score(la, ws)}, 'l': '{la}'}}" for la, ws in LANG_STOPWORDS.items()
     )
     sql["q21_lang_id"] = (
         f"SELECT doc_id, lang, CASE WHEN best['s'] > 0 THEN best['l'] ELSE 'und' END AS lang_guess"

@@ -9,12 +9,42 @@ stay inside whole-stage codegen; no Python in the hot path.
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# tiny per-language stopword lists for the n-gram/stopword heuristic language ID
+# Per-language stopword lists for the stopword-ratio heuristic language ID —
+# 14 whitespace-tokenized languages (Latin + Cyrillic scripts; CJK needs a
+# segmenter and is out of scope for the whitespace tokenizer).  Lists are
+# deliberately UNEQUAL in length: the score is hits normalized by list size
+# (basis points), so a longer list never wins just by having more chances.
+# Cross-language collisions (fr/es 'la', sv/da/tr 'en', pt/nl/ro 'de', …) are
+# expected and resolved by the normalized argmax.
 LANG_STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "with"],
-    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
-    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
-    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "eine"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "with", "that", "it",
+           "was", "for", "on", "as", "his", "are"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans",
+           "pour", "que", "pas", "sur"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para",
+           "pero", "más", "como", "sus"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "eine", "nicht",
+           "auf", "sich", "dem", "auch", "für"],
+    "it": ["il", "di", "che", "per", "del", "sono", "anche", "come", "più",
+           "della", "nel", "alla"],
+    "pt": ["o", "os", "de", "que", "não", "uma", "para", "com", "mais", "por",
+           "como", "dos"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "met", "voor",
+           "zijn", "aan", "ook"],
+    "sv": ["och", "att", "det", "som", "en", "är", "på", "för", "med", "inte",
+           "av", "han"],
+    "da": ["og", "det", "at", "en", "den", "til", "er", "som", "på", "med",
+           "han", "ikke"],
+    "pl": ["nie", "się", "na", "jest", "do", "że", "z", "po", "jak", "ale",
+           "co", "tak"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "için", "ile", "ama", "gibi",
+           "daha", "çok", "en"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada"],
+    "ro": ["și", "de", "în", "la", "cu", "pe", "este", "un", "care", "nu",
+           "mai", "din"],
+    "ru": ["и", "в", "не", "на", "что", "он", "с", "как", "это", "по", "но",
+           "она", "они", "его"],
 }
 
 
@@ -47,16 +77,27 @@ def token_count(col) -> Column:
 
 
 def stopword_hits(col, lang: str) -> Column:
-    """Number of tokens that are stopwords of ``lang`` (higher-order fn, JVM)."""
+    """Number of (lowercased) tokens that are stopwords of ``lang``
+    (higher-order fn, JVM)."""
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def stopword_score_bp(col, lang: str) -> Column:
+    """Ratio-normalized stopword score in basis points of the LIST size:
+    floor(hits × 10000 / |stopword list|) — list lengths vary, so raw hit
+    counts are not comparable across languages but this is."""
+    n = len(LANG_STOPWORDS[lang])
+    return F.floor(stopword_hits(col, lang) * 10000 / F.lit(n)).cast("long")
 
 
 def lang_id(col) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hit counts;
-    'und' (undetermined) when no list scores > 0."""
+    """Heuristic language ID over 14 languages: argmax of ratio-normalized
+    per-language stopword scores (ties break to the lexicographically larger
+    language code — a total order both engines share); 'und' (undetermined)
+    when no list scores > 0.  Pure Column exprs, whole-stage codegen."""
     scores = [
-        F.struct(stopword_hits(col, lang).alias("s"), F.lit(lang).alias("l"))
+        F.struct(stopword_score_bp(col, lang).alias("s"), F.lit(lang).alias("l"))
         for lang in LANG_STOPWORDS
     ]
     best = F.array_max(F.array(*scores))
