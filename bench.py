@@ -353,6 +353,30 @@ def calibration_probe() -> float:
         spark.stop()
 
 
+# Quiet-window gate (round-3 verdict #7): protocol tables are only
+# comparable within a stable machine window, so --scaling refuses to record
+# when the opening calibration probe shows a degraded window (~2.3 s =
+# quiet on this VM; 4+ = degraded).  SPARK_GRAFT_SCALING_FORCE=1 overrides.
+QUIET_PROBE_MAX_SEC = 3.0
+
+
+def quiet_window_refusal(probe_sec: float, force: bool = False) -> dict | None:
+    """Pure gate decision: a refusal dict when the window is too noisy to
+    replace stored protocol tables, else None."""
+    if force or probe_sec <= QUIET_PROBE_MAX_SEC:
+        return None
+    return {
+        "refused": True,
+        "reason": "degraded machine window",
+        "calibration_probe_sec": probe_sec,
+        "threshold_sec": QUIET_PROBE_MAX_SEC,
+        "hint": (
+            "re-run when the probe drops (quiet ≈ 2.3 s on this VM), or set "
+            "SPARK_GRAFT_SCALING_FORCE=1 to record anyway"
+        ),
+    }
+
+
 def bench_scaling(full: bool = False, exec_only: bool = False) -> dict:
     """North-rule N→4N evidence protocols (no real cluster in the sandbox).
 
@@ -397,7 +421,15 @@ def bench_scaling(full: bool = False, exec_only: bool = False) -> dict:
     if exec_only:
         full = True
         pairs = 0
-    legs, probes = [], [calibration_probe()]
+    opening_probe = calibration_probe()
+    refusal = quiet_window_refusal(
+        opening_probe, force=os.environ.get("SPARK_GRAFT_SCALING_FORCE") == "1"
+    )
+    if refusal is not None:
+        # nothing runs, nothing is stored: a noisy window must never
+        # replace a protocol table measured in a quiet one
+        return refusal
+    legs, probes = [], [opening_probe]
     for pair in range(pairs):
         for cores in (lo, hi):
             spark = make_session(cores, f"scaling-p{pair}-c{cores}")
@@ -609,11 +641,15 @@ Calibration probe series (same fixed local[8] job, between legs):
 {probe_series} — drift ratio {cx['probe_drift_ratio']}×."""
 
 
-def _amdahl_fit(sat: dict, rounds: int = 5):
+def _amdahl_fit(sat: dict, rounds: int | None = None):
     """Two-point Amdahl fit from the saturation protocol's median walls:
-    wall(n) = B + C/n.  Returns (B per run, C core-seconds, b per round)."""
+    wall(n) = B + C/n.  Returns (B per run, C core-seconds, b per round).
+    ``rounds`` defaults to the stored legs' own round count (ADVICE: never
+    hard-code 5)."""
     from statistics import median as _med
 
+    if rounds is None:
+        rounds = int(sat["legs"][0].get("rounds", 5)) or 5
     t_lo = _med(l["sec"] for l in sat["legs"] if l["cores"] == sat["lo"])
     t_hi = _med(l["sec"] for l in sat["legs"] if l["cores"] == sat["hi"])
     lo, hi = sat["lo"], sat["hi"]
@@ -657,6 +693,7 @@ def _write_baseline_md(store: dict) -> None:
         md += verdict_text + "\n"
     if sat:
         pages = sat["legs"][0]["pages"]
+        sat_rounds = int(sat["legs"][0].get("rounds", 5)) or 5
         B, C, b = _amdahl_fit(sat)
         c_ms = C / pages * 1000
         pred_8_32 = (B + C / 8) / (4 * (B + C / 32))
@@ -667,7 +704,7 @@ def _write_baseline_md(store: dict) -> None:
             f"\n**Why, quantified (two-point Amdahl fit, cross-validated): "
             f"fitting wall = B + C/cores to the 2⇄8 protocol's median walls "
             f"gives B ≈ {B:.0f} s of per-run non-scaling cost "
-            f"(≈{b:.1f} s per round at 5 rounds) and C ≈ {C:.0f} core-seconds "
+            f"(≈{b:.1f} s per round at {sat_rounds} rounds) and C ≈ {C:.0f} core-seconds "
             f"of parallel work for {pages:,} pages "
             f"({c_ms:.2f} ms·core/page).  The fit predicts efficiency "
             f"{pred_2_8:.2f} at 2→8 (measured {sat['median_efficiency']}) and "
@@ -714,6 +751,12 @@ disk-backed state measures the hypervisor's write throttle, not the engine).
 Legs alternate N → 4N → N → 4N …; each adjacent pair yields one efficiency;
 a fixed CPU-bound calibration job (sum over xxhash64 of 6e9 longs at
 local[8]) runs between legs as the drift control.
+
+Provenance: every table here was recorded through the quiet-window gate —
+`bench.py --scaling` refuses to run (and therefore to replace any stored
+protocol) when the opening calibration probe exceeds 3.0 s, so a degraded
+machine window can never overwrite a quiet-window measurement
+(SPARK_GRAFT_SCALING_FORCE=1 overrides, recorded in the probe series).
 """
     if cx:
         md += f"""
@@ -744,6 +787,20 @@ point that tests the fit's round-size prediction.
 {_pair_table(xxl)}
 """
         md += _history_note(store, "crawl_8to32_xxl", xxl)
+    # any OTHER stored interleaved protocol (non-standard core pairs via
+    # SPARK_GRAFT_SCALING_CORES / _SPEC) renders generically instead of
+    # silently never appearing (ADVICE)
+    known = {"crawl_8to32", "crawl_2to8", "crawl_8to32_xxl"}
+    for key in sorted(store):
+        if not key.startswith("crawl_") or key.endswith("_history") or key in known:
+            continue
+        extra = store[key]
+        md += f"""
+## Additional interleaved protocol `{key}`: local[{extra['lo']}] ⇄ local[{extra['hi']}]
+
+{_pair_table(extra)}
+"""
+        md += _history_note(store, key, extra)
     if "fleet" in store:
         fl, im = store["fleet"], store["image"]
         md += f"""
@@ -775,9 +832,9 @@ image scaling_efficiency = {im['eff']}
 
 
 def _s7_section(store: dict) -> str:
-    """Cross-corpus regression: XL and XXL both run 5 BFS rounds, so two
-    corpus sizes at fixed round count solve wall = 5*b + c*pages per core
-    count.  Recomputed from the stored legs on every regeneration."""
+    """Cross-corpus regression: two corpus sizes with their stored round
+    counts solve wall = rounds*b + c*pages per core count.  Recomputed from
+    the stored legs on every regeneration."""
     import statistics
 
     xl, xxl = store.get("crawl_8to32"), store.get("crawl_8to32_xxl")
@@ -792,12 +849,17 @@ def _s7_section(store: dict) -> str:
             [l["sec"] for l in legs],
         )
 
+    r_xl = int(xl["legs"][0].get("rounds", 5)) or 5
+    r_xxl = int(xxl["legs"][0].get("rounds", 5)) or 5
     rows, note = [], ""
     for cores in (8, 32):
         w_xl, p_xl, _ = med(xl, cores)
         w_xxl, p_xxl, secs_xxl = med(xxl, cores)
-        c = (w_xxl - w_xl) / (p_xxl - p_xl)
-        b = (w_xl - c * p_xl) / 5
+        # wall = rounds·b + c·pages at each corpus size: solve the 2×2 system
+        # (rounds derived from the stored legs, not hard-coded — ADVICE)
+        det = r_xl * p_xxl - r_xxl * p_xl
+        b = (w_xl * p_xxl - w_xxl * p_xl) / det
+        c = (r_xl * w_xxl - r_xxl * w_xl) / det
         rows.append((cores, b, c * 1e6, c * 1e6 * cores, w_xl, w_xxl))
         if cores == 8:
             note = f"{min(secs_xxl):.0f}–{max(secs_xxl):.0f} s"
@@ -810,8 +872,9 @@ def _s7_section(store: dict) -> str:
 ### S7 — (round 3) cross-corpus regression separates per-round from per-page
 
 BENCH_XL ({xl['legs'][0]['pages']:,} pages) and BENCH_XXL
-({xxl['legs'][0]['pages']:,} pages) both run 5 BFS rounds, so two corpus
-sizes at fixed round count solve wall = 5·b + c·pages per core count.
+({xxl['legs'][0]['pages']:,} pages) run {r_xl} and {r_xxl} BFS rounds
+respectively, so the two corpus sizes solve wall = rounds·b + c·pages per
+core count.
 Using the median wall of the stored post-fix legs in
 `BENCH/scaling_store.json` (`crawl_8to32`: XL medians {rows[0][4]:.1f} s @8
 / {rows[1][4]:.1f} s @32; `crawl_8to32_xxl`: XXL medians {rows[0][5]:.1f} s

@@ -39,6 +39,65 @@ def test_amdahl_fit_recovers_parameters():
     assert abs(got_b - B / 5) < 1e-6
 
 
+def test_quiet_window_gate():
+    """--scaling must refuse to record from a degraded machine window
+    (round-3 verdict #7); the force flag and quiet windows pass."""
+    import bench
+
+    assert bench.quiet_window_refusal(2.3) is None
+    assert bench.quiet_window_refusal(bench.QUIET_PROBE_MAX_SEC) is None
+    ref = bench.quiet_window_refusal(4.5)
+    assert ref and ref["refused"] and ref["calibration_probe_sec"] == 4.5
+    assert "SPARK_GRAFT_SCALING_FORCE" in ref["hint"]
+    assert bench.quiet_window_refusal(4.5, force=True) is None
+
+
+def test_bench_scaling_refuses_in_noisy_window(tmp_path, monkeypatch):
+    """End-to-end refusal path: a high probe makes bench_scaling return the
+    refusal dict without running any leg or touching the store."""
+    import bench
+
+    monkeypatch.setattr(bench, "calibration_probe", lambda: 9.9)
+    monkeypatch.setattr(bench, "_STORE_PATH", str(tmp_path / "BENCH" / "s.json"))
+    monkeypatch.delenv("SPARK_GRAFT_SCALING_FORCE", raising=False)
+
+    def boom(*a, **k):  # no session may ever be built on refusal
+        raise AssertionError("refusal must short-circuit before any leg")
+
+    monkeypatch.setattr(bench, "make_session", boom)
+    out = bench.bench_scaling()
+    assert out["refused"] and out["calibration_probe_sec"] == 9.9
+    assert not os.path.exists(tmp_path / "BENCH" / "s.json")
+
+
+def test_amdahl_fit_derives_rounds_from_legs():
+    import bench
+
+    B, C = 70.0, 230.0
+    legs = [
+        dict(_leg(0, 2, B + C / 2), rounds=10),
+        dict(_leg(0, 8, B + C / 8), rounds=10),
+    ]
+    _, _, b = bench._amdahl_fit(_cx(2, 8, legs, [0.45]))
+    assert abs(b - B / 10) < 1e-6
+
+
+def test_write_baseline_md_renders_unknown_crawl_keys(tmp_path, monkeypatch):
+    """Non-standard SPARK_GRAFT_SCALING_CORES runs (e.g. 4,16) must appear in
+    BASELINE.md instead of being silently stored-but-unrendered (ADVICE)."""
+    import bench
+
+    store = {
+        "crawl_4to16": _cx(4, 16, [_leg(0, 4, 120.0), _leg(0, 16, 70.0)], [0.43]),
+    }
+    monkeypatch.setattr(bench, "_STORE_PATH", str(tmp_path / "BENCH" / "s.json"))
+    os.makedirs(tmp_path / "BENCH")
+    bench._write_baseline_md(store)
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "Additional interleaved protocol `crawl_4to16`" in md
+    assert "local[4] ⇄ local[16]" in md
+
+
 def test_write_baseline_md_renders_all_protocols(tmp_path, monkeypatch):
     """The renderer must compose every stored protocol and the fit verdict."""
     import bench
