@@ -82,6 +82,32 @@ def plan_host_assignment(host_counts, workers: int) -> dict:
 
 STATUS_POLL_S = 0.5
 
+# post-STOP orphan guard (ADVICE): if the coordinator dies between writing
+# STOP and EXIT, workers must not hang forever in the phase-2 wait.  The
+# coordinator touches <fleet>/HEARTBEAT every poll; a worker whose phase-2
+# wait sees the heartbeat go stale (or never appear) past this bound exits
+# with an error instead of idling as an orphaned JVM.
+ORPHAN_TIMEOUT_S = 600.0
+
+
+def _orphan_check(fleet_dir: str, waited_s: float, orphan_timeout_s: float) -> None:
+    """Raise when the coordinator looks dead: heartbeat file stale past the
+    bound, or (no heartbeat ever written — e.g. a harness driving STOP/EXIT
+    by hand) the phase-2 wait itself exceeding the bound."""
+    hb = os.path.join(fleet_dir, "HEARTBEAT")
+    try:
+        age = time.time() - os.path.getmtime(hb)
+    except OSError:
+        age = None
+    if (age is not None and age > orphan_timeout_s) or (
+        age is None and waited_s > orphan_timeout_s
+    ):
+        raise RuntimeError(
+            "fleet worker orphaned: coordinator heartbeat "
+            + (f"stale for {age:.0f}s" if age is not None else "never appeared")
+            + f" (> {orphan_timeout_s:.0f}s) after STOP without EXIT"
+        )
+
 
 def run_worker(
     fleet_dir: str,
@@ -94,6 +120,7 @@ def run_worker(
     idle_polls: int = 3,
     driver_mem: str = "8g",
     host_map: dict | None = None,
+    orphan_timeout_s: float = ORPHAN_TIMEOUT_S,
 ) -> dict:
     """One fleet worker process body (invoked via ``python -m`` subprocess or
     directly for tests).  Returns summary dict."""
@@ -204,7 +231,13 @@ def run_worker(
                 # whole fleet is truly quiescent.
                 total += drain()
                 publish(ready=True)
+                t_stop = time.monotonic()
                 while not os.path.exists(exit_path):
+                    # bounded: a dead coordinator (STOP written, EXIT never)
+                    # must not strand this JVM forever
+                    _orphan_check(
+                        fleet_dir, time.monotonic() - t_stop, orphan_timeout_s
+                    )
                     before = (engine.handoff_consumed, engine.handoff_exported)
                     got = drain()
                     total += got
@@ -272,9 +305,14 @@ def coordinate(fleet_dir: str, workers: int, idle_polls: int = 3, procs=None) ->
             f"(rc={[procs[i].returncode for i in dead]}); see worker*.stderr"
         )
 
+    hb_path = os.path.join(fleet_dir, "HEARTBEAT")
+
     def _wait(predicate, marker: str) -> None:
         prev = None
         while True:
+            # liveness beacon for the workers' post-STOP orphan guard
+            with open(hb_path, "w"):
+                pass
             if procs is not None:
                 dead = [i for i, p in enumerate(procs) if p.poll() is not None]
                 if dead:
@@ -364,7 +402,7 @@ def run_fleet(
     os.makedirs(fleet_dir, exist_ok=True)
     import shutil
 
-    for marker in ("STOP", "EXIT"):
+    for marker in ("STOP", "EXIT", "HEARTBEAT"):
         path = os.path.join(fleet_dir, marker)
         if os.path.exists(path):
             os.remove(path)
