@@ -65,9 +65,23 @@ def host_of(url: str) -> str:
 
 # ------------------------------------------------------------ pandas UDFs
 
+_UDF_CACHE: tuple[str, dict] | None = None
+
+
 def register_udfs():
     """Column-level vectorized versions. Imported lazily so the pure functions
-    above stay usable without pyspark on the path."""
+    above stay usable without pyspark on the path.  Memoized PER SparkContext
+    (a UserDefinedFunction caches its JVM handle against the context that
+    first used it, so a process that restarts sessions — the scaling bench —
+    must not reuse stale handles): pandas_udf construction is driver/py4j
+    work the crawl round would otherwise repay on every step."""
+    global _UDF_CACHE
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    key = active.sparkContext.applicationId if active is not None else ""
+    if _UDF_CACHE is not None and _UDF_CACHE[0] == key:
+        return _UDF_CACHE[1]
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -89,8 +103,12 @@ def register_udfs():
     def urljoin_udf(bases: pd.Series, links: pd.Series) -> pd.Series:
         return pd.Series([_urljoin(b, l) for b, l in zip(bases, links)], dtype="object")
 
-    return {
-        "canonical": canonical_udf,
-        "fingerprint": fingerprint_udf,
-        "urljoin": urljoin_udf,
-    }
+    _UDF_CACHE = (
+        key,
+        {
+            "canonical": canonical_udf,
+            "fingerprint": fingerprint_udf,
+            "urljoin": urljoin_udf,
+        },
+    )
+    return _UDF_CACHE[1]

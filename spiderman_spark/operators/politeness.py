@@ -37,12 +37,19 @@ def select_eligible(
     default_budget: int,
     budgets: DataFrame | None = None,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Tag each pending frontier row with ``is_eligible`` for this round.
 
     ``pending`` needs columns (seq long, url string, host string).
     ``budgets``: optional small DF (host string, max_per_round int) —
     broadcast-joined; hosts absent fall back to ``default_budget``.
+
+    ``two_phase=False`` skips the salt phase and ranks each host in ONE
+    window — the identical result (both compute the exact per-host top-B)
+    minus one shuffle.  Callers flip it off when the pending frontier is
+    small enough that even the mega-host's group fits one task comfortably
+    (the engine gates on its running frontier-size upper bound).
     """
     df = pending
     if budgets is not None:
@@ -61,6 +68,14 @@ def select_eligible(
         order = [F.coalesce(F.col("priority"), F.lit(0)).desc(), F.col("seq")]
     else:
         order = [F.col("seq")]
+    out_cols = pending.columns + ["is_eligible"]
+    if not two_phase:
+        w = Window.partitionBy("host").orderBy(*order)
+        return (
+            df.withColumn("_r", F.row_number().over(w))
+            .withColumn("is_eligible", F.col("_r") <= F.col("_budget"))
+            .select(*out_cols)
+        )
     salted = df.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     phase1 = salted.withColumn("_r1", F.row_number().over(w1))
@@ -74,5 +89,4 @@ def select_eligible(
         "is_eligible", F.col("_r2") <= F.col("_budget")
     )
 
-    out_cols = pending.columns + ["is_eligible"]
     return phase2.select(*out_cols).unionByName(losers.select(*out_cols))

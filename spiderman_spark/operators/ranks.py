@@ -49,6 +49,87 @@ def collect_offsets(part: DataFrame) -> tuple[list[int], int]:
     return offsets, acc
 
 
+def hist_offsets(
+    df: DataFrame, np_col: str, seq_col: str, shift: int
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    """ONE action replacing range_prepare's sampling job + collect_offsets:
+    exact per-(np, seq>>shift) group counts (map-side combined, tiny shuffle
+    of <= distinct-bucket keys), cumulated driver-side in (np, bucket) order.
+
+    Returns ([(np, bucket, offset), ...] sorted, total rows, max group size).
+    Works because bucket = seq >> shift is MONOTONIC in seq, so the
+    lexicographic (np, bucket) group order is the global (np, seq) order
+    split at bucket boundaries — offset[group] is exactly the number of rows
+    strictly before the group.  Caller picks ``shift`` so bucket count stays
+    ~2^16 (collect stays small) and checks ``max_group`` for skew: a
+    degenerate seq distribution (one bucket holding the round) should fall
+    back to the range-partitioned path rather than hand one window task the
+    whole round."""
+    rows = (
+        df.select(
+            F.col(np_col).alias("_hnp"),
+            F.shiftright(F.col(seq_col), shift).alias("_hbk"),
+        )
+        .groupBy("_hnp", "_hbk")
+        .agg(F.count(F.lit(1)).alias("_hn"))
+        .collect()
+    )
+    groups = sorted((int(r["_hnp"]), int(r["_hbk"]), int(r["_hn"])) for r in rows)
+    out, acc, mx = [], 0, 0
+    for np_, bk, n in groups:
+        out.append((np_, bk, acc))
+        acc += n
+        mx = max(mx, n)
+    return out, acc, mx
+
+
+def with_hist_rank(
+    df: DataFrame,
+    np_col: str,
+    seq_col: str,
+    shift: int,
+    offsets_rows: list[tuple[int, int, int]],
+    out_col: str,
+    base: int = 0,
+) -> DataFrame:
+    """rank = base + offset[(np, seq>>shift)] + row_number within the group
+    ordered by seq.  Small offset sets (the common case — occupied buckets,
+    not bucket space) inline as a literal map (zero extra driver round
+    trips); large ones travel as a broadcast-joined tiny frame (arbitrary
+    group count without plan bloat).  The window is keyed by (np, bucket) —
+    bounded groups, no single-partition Exchange."""
+    w = Window.partitionBy(np_col, "_bk").orderBy(seq_col)
+    part = df.withColumn("_bk", F.shiftright(F.col(seq_col), shift))
+    if len(offsets_rows) <= 1024:
+        kv = []
+        for a, b, o in offsets_rows:
+            kv += [F.lit(f"{int(a)}:{int(b)}"), F.lit(int(o))]
+        off = F.element_at(
+            F.create_map(*kv),
+            F.concat_ws(
+                ":", F.col(np_col).cast("string"), F.col("_bk").cast("string")
+            ),
+        )
+        return part.withColumn(
+            out_col, F.lit(base).cast("long") + off + F.row_number().over(w)
+        ).drop("_bk")
+    spark = df.sparkSession
+    offs = F.broadcast(
+        spark.createDataFrame(
+            [(int(a), int(b), int(o)) for a, b, o in offsets_rows],
+            f"{np_col} int, _bk long, _off long",
+        )
+    )
+    return (
+        part.join(offs, [np_col, "_bk"])
+        .withColumn(
+            out_col,
+            F.lit(base).cast("long") + F.col("_off") + F.row_number().over(w),
+        )
+        .drop("_bk", "_off")
+    )
+
+
 def with_rank(
     part: DataFrame,
     order_cols: list[str],

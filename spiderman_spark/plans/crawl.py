@@ -123,6 +123,16 @@ class CrawlConfig:
     # ORDER is ever observed) — but needs NO second offsets action per round.
     # Must exceed the max children one page can emit.
     child_stride: int = 1 << 20
+    # below this (upper-bound) frontier size, politeness runs its per-host
+    # window in ONE phase — identical result, one less shuffle; above it the
+    # two-phase salted form bounds the mega-host's group (see politeness.py)
+    salt_min_rows: int = 131072
+    # histogram-rank skew fallback: if one (priority, seq-bucket) group of
+    # the fused offsets pass exceeds this many rows (a degenerate seq
+    # distribution, e.g. one parent emitting ~10^6 children into one stride
+    # block), pay the extra range-partitioning job instead of handing one
+    # window task the whole round
+    hist_max_group: int = 131072
     # U3 middleware (`SP/middlewares/SPMiddleWare.py:40-133`; headers/cookies
     # Redis keys `SP_JOBS/job.py:42-45`): UA/cookie rotation + fixed headers
     # stamped as columns on the eligible batch before the fetch join.
@@ -177,6 +187,7 @@ class CrawlEngine:
         self.host_map = host_map  # optional explicit host->worker assignment
         self.handoff_exported = 0  # handoff drops written (for quiescence)
         self.handoff_consumed = 0  # handoff drops ingested
+        self._seen_appended = 0  # url_seen rows since last compaction
         self._ingested: set[str] = set()
         self._round_caches: list = []  # per-round persisted frames to release
 
@@ -235,9 +246,12 @@ class CrawlEngine:
         if preserve_state:
             self.next_seq += len(rows)
             self._pending_est = len(rows)
+            # kept url_seen may carry un-compacted appends from before
+            self._seen_appended = max(1, self._seen_appended)
         else:
             self.round, self.next_seq, self.rank_base = 0, len(rows), 0
             self._pending_est = len(rows)
+            self._seen_appended = 0
             if self.bloom is not None:
                 self._drop_bloom_broadcast()
                 self.bloom = BloomSet(self.cfg.bloom)
@@ -295,10 +309,12 @@ class CrawlEngine:
             self.catalog.table("frontier").replace(self._sized(rows, n))
             self.next_seq += n
             self._pending_est = n
+            self._seen_appended = max(1, self._seen_appended)
         else:
             self.catalog.table("frontier").replace(self._sized(rows, n))
             self.round, self.next_seq, self.rank_base = 0, n, 0
             self._pending_est = n
+            self._seen_appended = 0
             if self.bloom is not None:
                 self._drop_bloom_broadcast()
                 self.bloom = BloomSet(cfg.bloom)
@@ -334,6 +350,8 @@ class CrawlEngine:
         self.next_seq = state["next_seq"]
         self.rank_base = state["rank_base"]
         self._pending_est = state["next_seq"]
+        # appends-since-compaction is unknown after a rollback: assume some
+        self._seen_appended = 1
         if self.cfg.bloom is not None:
             # the bitmap is derived state: rebuild from the url_seen snapshot
             self._drop_bloom_broadcast()
@@ -356,41 +374,69 @@ class CrawlEngine:
         """Run one frontier round; returns number of pages fetched (0 ⇒ done).
 
         Driver-barrier budget (engineered down for the N→4N scaling
-        criterion): TWO small actions (the offset collects below, which double
-        as the round's row counts — no separate ``count()``) plus the state
-        writes, which run CONCURRENTLY from a thread pool (wall ≈ slowest
-        write, not the sum).  Global rank/admission ordering uses the
-        two-phase range rank (operators/ranks.py) — no single-partition
-        Exchange anywhere in the round, so no operator caps round size."""
+        criterion): ONE small action at the head — the fused politeness +
+        histogram-offsets pass (``ranks.hist_offsets``), which materializes
+        the politeness cache, yields the round's row count, AND replaces
+        both of the old head jobs (range-partitioning's sampling pass and
+        the per-partition offsets collect) — then the state writes, which
+        run CONCURRENTLY from a thread pool together with the Bloom delta
+        build (wall ≈ slowest write, not the sum).  Global rank/admission
+        ordering uses the (np, seq-bucket) histogram rank — exact, dense,
+        and with no single-partition Exchange anywhere in the round; a
+        degenerate seq distribution (one oversize bucket) falls back to the
+        two-phase range rank for that round, so no operator caps round
+        size."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         cfg = self.cfg
         pending = self._read("frontier", FRONTIER_DDL)
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
         tagged = politeness.select_eligible(
-            pending, cfg.default_budget, self.budgets, cfg.salt_buckets
+            pending, cfg.default_budget, self.budgets, cfg.salt_buckets,
+            two_phase=self._pending_est >= cfg.salt_min_rows,
         ).persist()
         eligible = tagged.where("is_eligible").drop("is_eligible")
         deferred = tagged.where("NOT is_eligible").drop("is_eligible")
 
         # global fetch order = (priority DESC, seq): same total order the
         # politeness windows used; _np (negated priority) makes it ascending
-        # for the range rank, and all-zero priorities reduce to pure FIFO
+        # for the rank, and all-zero priorities reduce to pure FIFO
         eligible = eligible.withColumn(
             "_np", -F.coalesce(F.col("priority"), F.lit(0))
         )
-        fetch_order = ["_np", "seq"]
-        epart = ranks.range_prepare(eligible, fetch_order, nparts).persist()
-        eoffs, n_eligible = ranks.collect_offsets(epart)  # action 1 of 2
+        # every frontier seq < next_seq by construction, so seq >> shift
+        # lands in <= 2^16 buckets — the offsets collect stays tiny
+        shift = max(0, int(self.next_seq - 1).bit_length() - 16)
+        hoffs, n_eligible, max_group = ranks.hist_offsets(
+            eligible, "_np", "seq", shift
+        )  # the round's ONLY head action
+        _t_head = _time.perf_counter()
+        epart = None
         if n_eligible == 0:
-            epart.unpersist()
             tagged.unpersist()
             return 0
         self.round += 1
 
-        ranked = self._with_middleware(
-            ranks.with_rank(epart, fetch_order, "rank", eoffs, base=self.rank_base)
-            .drop("_pid", "_np")
-        )
+        if max_group > cfg.hist_max_group:
+            # rare skew fallback (see CrawlConfig.hist_max_group): exact
+            # equal-frequency range partitioning; costs one extra job but
+            # reads the already-populated politeness cache
+            fetch_order = ["_np", "seq"]
+            epart = ranks.range_prepare(eligible, fetch_order, nparts).persist()
+            eoffs, _ = ranks.collect_offsets(epart)
+            ranked = ranks.with_rank(
+                epart, fetch_order, "rank", eoffs, base=self.rank_base
+            ).drop("_pid", "_np")
+        else:
+            ranked = ranks.with_hist_rank(
+                eligible, "_np", "seq", shift, hoffs, "rank", base=self.rank_base
+            ).drop("_np")
+        # persist the ranked batch: ~5 downstream jobs consume it (fetch
+        # join, crawl_order write, missing anti-join, pmap broadcast) and
+        # would otherwise each re-run the rank window + offsets join
+        ranked = self._with_middleware(ranked).persist()
 
         # fetch = join the small per-round batch INTO the big corpus scan
         use_bc = (
@@ -435,10 +481,13 @@ class CrawlEngine:
         pages = ok.where(F.col("callback").isin(list(self.spec.page_callbacks)))
         if cfg.parse_rebalance:
             # spread hub pages uniformly before the Python parse wave (see
-            # CrawlConfig.parse_rebalance); 4x cores = fine tail granularity
-            pages = pages.repartition(
-                4 * self.spark.sparkContext.defaultParallelism, F.xxhash64("url")
+            # CrawlConfig.parse_rebalance); 4x cores = fine tail granularity,
+            # capped by the round's own size so a 3-page tail round doesn't
+            # schedule 128 near-empty parse tasks
+            width = min(
+                4 * self.spark.sparkContext.defaultParallelism, max(1, n_eligible)
             )
+            pages = pages.repartition(width, F.xxhash64("url"))
         parsed = parse_pages(pages, self.spec.parse).persist()
 
         # ---- child admission: dedup gate (D1) + deterministic seq assignment
@@ -521,9 +570,14 @@ class CrawlEngine:
         else:
             gated = gated.join(seen.select("fp"), "fp", "left_anti")
         gated = gated.persist()  # feeds both new_seen and the children union
+        from pyspark.sql import Observation
+
+        # observed row count rides the url_seen write (no extra action) and
+        # gates the periodic compaction: nothing appended → nothing to compact
+        obs_seen = Observation()
         new_seen = gated.select(
             "fp", F.xxhash64("canon").alias("url_hash"), F.col("url")
-        )
+        ).observe(obs_seen, F.count(F.lit(1)).alias("n"))
 
         admitted = nofilter.unionByName(gated)
         # sparse seq assignment: parent's round-rank (attached via pmap)
@@ -569,22 +623,41 @@ class CrawlEngine:
             lambda: self.catalog.table("frontier").replace(self._sized(new_pending, self._pending_est)),
             lambda: seen_tb.append(self._sized(new_seen, n_eligible * 8)),
         ]
+        if self.bloom is not None:
+            # the delta build is its own job over the gated cache — run it
+            # INSIDE the wave (overlapped with the writes) instead of as a
+            # serial post-wave action; the MERGE still happens after the
+            # wave, once every job that probed the live broadcast is done
+            writes.append(
+                lambda: build_bloom(gated.select("fp"), "fp", self.cfg.bloom)
+            )
+        _t_plan = _time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-            for fut in [pool.submit(w) for w in writes]:
+            results = [pool.submit(w) for w in writes]
+            for fut in results:
                 fut.result()
+        _t_wave = _time.perf_counter()
         n_children = int(obs_children.get["n"])  # filled by the frontier write
+        self._seen_appended += int(obs_seen.get["n"])  # by the url_seen write
         self._pending_est = (
             max(0, self._pending_est - n_eligible) + n_eligible + n_children
         )
-        if cfg.compact_every and self.round % cfg.compact_every == 0:
-            # keep the per-round anti-join's scan list O(1) in round count
+        if (
+            cfg.compact_every
+            and self.round % cfg.compact_every == 0
+            and self._seen_appended
+        ):
+            # keep the per-round anti-join's scan list O(1) in round count —
+            # skipped entirely when nothing was appended since the last
+            # compaction (idle tail rounds)
             seen_tb.replace(self._sized(seen_tb.read(), self.rank_base * 8))
+            self._seen_appended = 0
         if self.bloom is not None:
             # all jobs that probed via the live broadcast have completed by
-            # here (state writes above are eager), so after merging the
-            # round's delta the old handle can be destroyed safely; the next
-            # round republishes lazily.  No-delta rounds keep the broadcast.
-            delta = build_bloom(new_seen, "fp", self.cfg.bloom)
+            # here (the wave is eager), so after merging the round's delta
+            # the old handle can be dropped safely; the next round
+            # republishes lazily.  No-delta rounds keep the broadcast.
+            delta = results[-1].result()
             if delta.bitmaps.any():
                 self.bloom.merge(delta)
                 self._drop_bloom_broadcast()
@@ -601,11 +674,25 @@ class CrawlEngine:
         parsed.unpersist()
         found.unpersist()
         tagged.unpersist()
-        epart.unpersist()
+        ranked.unpersist()
+        if epart is not None:  # skew-fallback path only
+            epart.unpersist()
         gated.unpersist()
         for df in self._round_caches:  # fleet-mode _split_foreign cache
             df.unpersist()
         self._round_caches.clear()
+        # per-round phase walls (always cheap to record; the fixed-cost-b
+        # work reads these instead of guessing): head = politeness+offsets
+        # action, plan = lazy plan assembly, wave = the concurrent
+        # write/bloom block, post = compaction+bloom-merge+checkpoint
+        self.round_profile = {
+            "round": self.round,
+            "n_eligible": n_eligible,
+            "head_s": round(_t_head - _t0, 3),
+            "plan_s": round(_t_plan - _t_head, 3),
+            "wave_s": round(_t_wave - _t_plan, 3),
+            "post_s": round(_time.perf_counter() - _t_wave, 3),
+        }
         return n_eligible
 
     # ------------------------------------------------------------ middleware
@@ -744,6 +831,7 @@ class CrawlEngine:
                 "fp", F.xxhash64("canon").alias("url_hash"), F.col("url")
             )
             self.catalog.table("url_seen").append(self._sized(new_seen, n_new))
+            self._seen_appended += n_new
             if self.bloom is not None:
                 delta = build_bloom(new_seen, "fp", self.cfg.bloom)
                 if delta.bitmaps.any():

@@ -75,11 +75,17 @@ class ParquetManifestTable:
     def exists(self) -> bool:
         return self.current_version() > 0
 
-    def read(self, version: int | None = None):
+    def read(self, version: int | None = None, ddl: str | None = None):
         m = self._manifest(version)
         if not m["files"]:
             return None  # caller supplies schema for the empty case
-        return self.spark.read.parquet(*[os.path.join(self.root, f) for f in m["files"]])
+        reader = self.spark.read
+        if ddl is not None:
+            # the engine knows its state-table schemas: passing them skips
+            # the per-read parquet footer inference (a driver round trip the
+            # crawl loop would otherwise pay twice per round)
+            reader = reader.schema(ddl)
+        return reader.parquet(*[os.path.join(self.root, f) for f in m["files"]])
 
     def _write_data(self, df) -> str:
         part = f"data-{uuid.uuid4().hex}"
@@ -187,7 +193,7 @@ class Catalog:
 
     def read_or_empty(self, name: str, ddl: str):
         t = self.table(name)
-        df = t.read() if t.exists() else None
+        df = t.read(ddl=ddl) if t.exists() else None
         if df is None:
             return self.spark.createDataFrame([], ddl)
         return df
