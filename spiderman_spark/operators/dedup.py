@@ -198,6 +198,7 @@ def minband_pair_union(
     max_salt: int = 64,
     max_hot_buckets: int = 4096,
     stats_out: dict | None = None,
+    x_rows: int | None = None,
 ):
     """Exactly-once banded candidate pairs: per-band self-join keyed on band
     b's bucket, emitting a pair only when NO earlier band shares a bucket, so
@@ -234,13 +235,19 @@ def minband_pair_union(
       loss, bounded and reported via ``stats_out``/logging.
 
     ``stats_out``: optional dict filled with
-    ``{"hot": {band: {bucket: n}}, "policy", "salt_factor": {band: s}}``."""
+    ``{"hot": {band: {bucket: n}}, "policy", "salt_factor": {band: s}}``.
+
+    ``x_rows``: the x side's row count when the caller already knows it —
+    if it is <= the cap, NO bucket can exceed the cap and the counting pass
+    is skipped for free."""
     import logging
     import math
 
     if pair_predicate is None:
         pair_predicate = F.col("id_a") < F.col("id_b")
     hot: dict[int, dict[str, int]] = {}
+    if max_bucket_rows is not None and x_rows is not None and x_rows <= max_bucket_rows:
+        max_bucket_rows = None  # provably no oversize bucket
     if max_bucket_rows is not None:
         if oversize_policy not in ("salt", "skip"):
             raise ValueError(f"unknown oversize_policy {oversize_policy!r}")
@@ -380,7 +387,7 @@ def minhash_lsh_pairs(
     )
     if materialize:
         buckets = buckets.persist()
-    use_bc = broadcast_grams
+    use_bc, n_docs = broadcast_grams, None
     if use_bc is None:
         # one small action; counting BUCKETS (1 row per shingled doc, so the
         # same number as sh) eagerly populates both caches before the
@@ -390,7 +397,11 @@ def minhash_lsh_pairs(
         # hint: a forced broadcast of an unbounded grams table is exactly
         # the driver-OOM this threshold exists to prevent, so let AQE pick
         # the join if the lazy plan is later executed
-        use_bc = buckets.count() <= broadcast_max_rows if materialize else False
+        if materialize:
+            n_docs = buckets.count()  # doubles as the guard's free bound
+            use_bc = n_docs <= broadcast_max_rows
+        else:
+            use_bc = False
     # Min-band candidate generation (minband_pair_union): the joins shuffle
     # only the tiny per-doc buckets table; the pair stream itself stays
     # narrow from enumeration through the (broadcast) verify join.  The
@@ -414,6 +425,7 @@ def minhash_lsh_pairs(
         oversize_policy=oversize_policy,
         salt_col_a="id_a",
         stats_out=lsh_stats,
+        x_rows=n_docs,
     ).select("id_a", "id_b")
     if materialize:
         # plan barrier, not just a cache: left open, Catalyst pushes the

@@ -110,10 +110,18 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     max_bucket_rows: int | None = 8192,
     oversize_policy: str = "salt",
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane sign sketch →
     per-band bucket self-joins (min-band, exactly-once) → exact cosine verify
     on candidates only.
+
+    ``materialize=True`` (default): the sketch frame is persisted — the
+    2×bands band-join branches (and the hot-bucket counting pass) would
+    otherwise each recompute the planes×dim projections — and the
+    output-proportional verified pairs are checkpointed so the cache is
+    released before returning.  ``materialize=False`` returns the lazy plan
+    (guard disabled — its counting pass is an action).
 
     Cost is O(rows × planes) sketching + per-band joins keyed by the sketch
     slice, whose groups stay small; the pair stream itself is never shuffled.
@@ -130,6 +138,8 @@ def embedding_neardup_lsh(
         F.col(vec_col).alias("vec"),
         sign_sketch(F.col(vec_col), dim, planes).alias("_sk"),
     )
+    if materialize:
+        sk = sk.persist()
 
     def slice_of(col, b):
         return F.shiftright(col, b * bits_per_band).bitwiseAND(F.lit(mask))
@@ -152,11 +162,11 @@ def embedding_neardup_lsh(
         lambda b: slice_of(F.col("ska"), b),
         lambda b: slice_of(F.col("skb"), b),
         bands,
-        max_bucket_rows=max_bucket_rows,
+        max_bucket_rows=max_bucket_rows if materialize else None,
         oversize_policy=oversize_policy,
         salt_col_a="id_a",
     ).select("id_a", "va", "id_b", "vb")
-    return (
+    out = (
         cand.select(
             "id_a",
             "id_b",
@@ -164,6 +174,10 @@ def embedding_neardup_lsh(
         )
         .where(F.col("sim_x10k") >= int(round(threshold * 10000)))
     )
+    if materialize:
+        out = out.localCheckpoint()
+        sk.unpersist()
+    return out
 
 
 def _md5_unit_vec(salt: str, dim: int) -> list[float]:
@@ -339,12 +353,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     max_bucket_rows: int | None = 8192,
     oversize_policy: str = "salt",
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band with the query,
     exact cosine re-rank on candidates only.  Bands = ``bands`` slices of the
     ``planes``-bit sign sketch.  ``max_bucket_rows``: hot-bucket guard over
     the CORPUS side's band groups (``dedup.minband_pair_union``; exact
-    'salt' policy by default)."""
+    'salt' policy by default).  ``materialize=True``: the corpus sketch is
+    persisted across the band branches + counting pass and released after
+    the (k-per-query, tiny) result checkpoints; False returns the lazy plan
+    with the guard disabled."""
     from pyspark.sql import Window
 
     bits_per_band = planes // bands
@@ -369,6 +387,8 @@ def lsh_topk(
         F.col(vec_col).alias("cv"),
         sign_sketch(F.col(vec_col), dim, planes).alias("skc"),
     )
+    if materialize:
+        c = c.persist()
     cand = minband_pair_union(
         c,
         F.broadcast(q),
@@ -376,7 +396,7 @@ def lsh_topk(
         lambda b: slice_of(F.col("skq"), b),
         bands,
         pair_predicate=F.col("query_id") != F.col("neighbor_id"),
-        max_bucket_rows=max_bucket_rows,
+        max_bucket_rows=max_bucket_rows if materialize else None,
         oversize_policy=oversize_policy,
         salt_col_a="neighbor_id",
     ).select("query_id", "qv", "neighbor_id", "cv")
@@ -386,8 +406,12 @@ def lsh_topk(
         F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long").alias("sim_x10k"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_x10k").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim_x10k", "rk")
     )
+    if materialize:
+        out = out.localCheckpoint()
+        c.unpersist()
+    return out
