@@ -501,6 +501,28 @@ def bench_scaling(full: bool = False, exec_only: bool = False) -> dict:
             out["crawl_xl"] = _merge_protocol(prev, out["crawl_xl"])
             # keep stdout consistent with the store/BASELINE.md after merge
             out["crawl_scaling_efficiency"] = out["crawl_xl"]["median_efficiency"]
+        elif flap_guard_demotes(prev, out["crawl_xl"]):
+            # mid-run flap guard (round 4): the opening-probe gate admitted
+            # the run, but the window degraded DURING it — the completed
+            # run's own probe series shows drift the gate never saw.  An
+            # undecidable run must not replace a decidable primary; it is
+            # archived into the history instead, and the stored primary is
+            # what this invocation reports.
+            hist = store.get(f"{key}_history")
+            store[f"{key}_history"] = (
+                _merge_protocol(hist, out["crawl_xl"]) if hist else out["crawl_xl"]
+            )
+            out["flap_archived"] = {
+                "key": key,
+                "reason": (
+                    "window flapped mid-run: completed-run verdict "
+                    f"{out['crawl_xl']['verdict']} (probe drift "
+                    f"{out['crawl_xl']['probe_drift_ratio']}×) must not "
+                    f"replace the stored {prev['verdict']} primary"
+                ),
+            }
+            out["crawl_xl"] = prev
+            out["crawl_scaling_efficiency"] = prev["median_efficiency"]
         else:
             # replacing: never discard measurements — fold the old run into
             # the protocol's cross-session history archive (rendered as
@@ -531,7 +553,88 @@ def bench_scaling(full: bool = False, exec_only: bool = False) -> dict:
     return out
 
 
+def bench_roundcost() -> dict:
+    """DIRECT measurement of the per-round fixed cost b (round-3 verdict #2's
+    acceptance metric): tail rounds with budget=1 carry ~no parallel work, so
+    their wall IS b.  Measured at local[8] on the BENCH corpus with the
+    engine's built-in phase profile (head = politeness+offsets action,
+    plan = driver-side plan assembly, wave = the concurrent write/bloom
+    block, post = compaction/bloom-merge/checkpoint).  Cleaner than the S7
+    cross-corpus regression, whose 2-point fit attributes any per-page-cost
+    difference BETWEEN corpus shapes (round size changes shuffle/amortization
+    regimes) to the fixed term.  Stored under ``roundcost``; rendered as
+    study S8."""
+    import statistics
+
+    base = _scratch_base()
+    os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(base, "tmp"))
+    tempfile.tempdir = os.path.join(base, "tmp")
+    opening_probe = calibration_probe()
+    refusal = quiet_window_refusal(
+        opening_probe, force=os.environ.get("SPARK_GRAFT_SCALING_FORCE") == "1"
+    )
+    if refusal is not None:
+        return refusal
+    from spiderman_spark import corpusgen as cg
+    from spiderman_spark import simulator as sim
+    from spiderman_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    spark = make_session(8, "roundcost")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(ensure_bench_corpus(spark, cg.BENCH))
+    wd = tempfile.mkdtemp(prefix="roundcost-")
+    engine = CrawlEngine(
+        spark, corpus, wd,
+        CrawlConfig(callbacks={"list": True, "detail": False}, default_budget=1),
+    )
+    engine.seed(sim.make_seeds(cg.BENCH)[:3])
+    profiles = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        if engine.step() == 0:
+            break
+        profiles.append(
+            dict(engine.round_profile, wall_s=round(time.perf_counter() - t0, 3))
+        )
+    spark.stop()
+    shutil.rmtree(wd, ignore_errors=True)
+    steady = profiles[1:]  # round 1 pays first-codegen/JIT warmup
+    out = {
+        "cores": 8,
+        "profiles": profiles,
+        "median_round_s": round(statistics.median(p["wall_s"] for p in steady), 3),
+        "phase_medians_s": {
+            k: round(statistics.median(p[k] for p in steady), 3)
+            for k in ("head_s", "plan_s", "wave_s", "post_s")
+        },
+        "calibration_probe_sec": opening_probe,
+    }
+    store = _load_store()
+    if "roundcost" in store:
+        store["roundcost_history"] = store.get("roundcost_history", []) + [
+            store["roundcost"]
+        ]
+    store["roundcost"] = out
+    _save_store(store)
+    _write_baseline_md(store)
+    return out
+
+
 _STORE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_store.json")
+
+
+def flap_guard_demotes(prev: dict | None, new: dict) -> bool:
+    """Pure decision for the mid-run flap guard: True when a just-completed
+    run whose own verdict is undecidable (its probe series drifted past the
+    decidability threshold while it ran) would replace a stored primary whose
+    verdict is decidable or met.  The opening-probe gate cannot catch this
+    case — the window was quiet when the run STARTED."""
+    if not prev:
+        return False
+    return (
+        new.get("verdict") == "not_met_undecidable"
+        and prev.get("verdict") in ("met", "not_met_decidable")
+    )
 
 
 def _protocol_stats(lo, hi, legs, pair_effs, probes) -> dict:
@@ -826,7 +929,7 @@ fleet scaling_efficiency = {fl['eff']}
 
 image scaling_efficiency = {im['eff']}
 """
-    md += _STUDY_MD + _s7_section(store) + _STUDY_MD_TAIL
+    md += _STUDY_MD + _s7_section(store) + _s8_section(store) + _STUDY_MD_TAIL
     with open(os.path.join(os.path.dirname(_STORE_PATH), "BASELINE.md"), "w") as fh:
         fh.write(md)
 
@@ -898,6 +1001,46 @@ scaling anywhere near 4× past 8 threads in one JVM, and S4 shows
 co-resident JVMs on this VM degrade instead of scaling.  On hardware where
 executors add private heaps and disks, c scales with executors and b is
 <1% of a 10^7-page round.
+"""
+
+
+def _s8_section(store: dict) -> str:
+    """Direct per-round fixed-cost measurement (bench.py --roundcost)."""
+    rc = store.get("roundcost")
+    if not rc:
+        return ""
+    ph = rc["phase_medians_s"]
+    hist = ""
+    if store.get("roundcost_history"):
+        prev = store["roundcost_history"][-1]
+        hist = (
+            f"  Previous recorded run: {prev['median_round_s']:.2f} s/round "
+            f"(probe {prev['calibration_probe_sec']:.2f} s).\n"
+        )
+    return f"""
+### S8 — (round 4) per-round fixed cost b, measured DIRECTLY
+
+`bench.py --roundcost`: budget-1 tail rounds carry ~no parallel work, so
+their wall IS the fixed cost b the Amdahl fits estimate indirectly.  At
+local[8], quiet-window-gated (probe {rc['calibration_probe_sec']:.2f} s),
+median over {len(rc['profiles']) - 1} steady-state rounds:
+
+**b = {rc['median_round_s']:.2f} s/round** — phase medians: head (fused
+politeness+offsets action) {ph['head_s']:.2f} s, plan assembly
+{ph['plan_s']:.2f} s, concurrent write wave {ph['wave_s']:.2f} s, post
+{ph['post_s']:.2f} s.
+{hist}
+This is the round-3 verdict's acceptance metric (target ≤ 2.5 s, from the
+round-3 fit's ~5.2 s/round).  Round-4 levers: ONE head action (histogram
+offsets replace the range-sampling + offsets pair), single-phase politeness
+below the mega-host bound, Bloom delta inside the write wave, compaction
+skipped when nothing appended, round-size-capped parse repartition,
+memoized pandas UDFs, schema-passed state reads, persisted ranked batch.
+When the S7 cross-corpus regression disagrees with this number, prefer
+this one: the 2-point regression attributes any per-page-cost difference
+between corpus SHAPES (round size changes shuffle/amortization regimes —
+and any window drift between the two protocols' sessions) to the fixed
+term, while this is the fixed term observed alone.
 """
 
 
@@ -1030,6 +1173,9 @@ without selection.
 if __name__ == "__main__":
     if "-h" in sys.argv or "--help" in sys.argv:
         print(__doc__)
+        sys.exit(0)
+    if "--roundcost" in sys.argv:
+        print(json.dumps(bench_roundcost(), default=str))
         sys.exit(0)
     if "--scaling-exec" in sys.argv:
         print(json.dumps(bench_scaling(exec_only=True), default=str))

@@ -70,6 +70,73 @@ def test_bench_scaling_refuses_in_noisy_window(tmp_path, monkeypatch):
     assert not os.path.exists(tmp_path / "BENCH" / "s.json")
 
 
+def test_flap_guard_demotes_decision():
+    """An undecidable completed run must not replace a decidable (or met)
+    primary; every other combination replaces as before."""
+    import bench
+
+    und = {"verdict": "not_met_undecidable"}
+    dec = {"verdict": "not_met_decidable"}
+    met = {"verdict": "met"}
+    assert bench.flap_guard_demotes(dec, und)
+    assert bench.flap_guard_demotes(met, und)
+    assert not bench.flap_guard_demotes(None, und)
+    assert not bench.flap_guard_demotes(und, und)   # both noisy: replace
+    assert not bench.flap_guard_demotes(dec, dec)   # new run is decidable
+    assert not bench.flap_guard_demotes(dec, met)
+
+
+def test_bench_scaling_flap_guard_archives_midrun_flap(tmp_path, monkeypatch):
+    """End-to-end store path: the opening probe passes the gate, the window
+    degrades mid-run (probe series drifts past 1.3x), and the completed
+    undecidable run lands in <key>_history while the stored decidable
+    primary survives."""
+    import bench
+
+    prev = _cx(8, 32, [_leg(0, 8, 100.0), _leg(0, 32, 40.0)], [0.625])
+    store_path = tmp_path / "BENCH" / "s.json"
+    os.makedirs(tmp_path / "BENCH")
+    store_path.write_text(json.dumps({"crawl_8to32": prev}))
+    monkeypatch.setattr(bench, "_STORE_PATH", str(store_path))
+    monkeypatch.setattr(bench, "_write_baseline_md", lambda store: None)
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_PAIRS", "1")
+    monkeypatch.delenv("SPARK_GRAFT_SCALING_APPEND", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SCALING_FORCE", raising=False)
+    # probe: quiet at the gate, then flaps between legs -> drift 3.6x
+    probes = iter([2.5, 2.5, 9.0])
+    monkeypatch.setattr(bench, "calibration_probe", lambda: next(probes))
+
+    class _FakeSC:
+        def setLogLevel(self, lvl):
+            pass
+
+    class _FakeSession:
+        sparkContext = _FakeSC()
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(bench, "make_session", lambda cores, tag: _FakeSession())
+    monkeypatch.setattr(bench, "ensure_bench_corpus", lambda spark, spec: "/nope")
+    walls = iter([80.0, 60.0])  # pair eff (80/60)/4 = 0.333 -> not met
+
+    def fake_crawl(spark, path, seeds, budget):
+        sec = next(walls)
+        return {"sec": sec, "pages": 10**6, "rounds": 5,
+                "pages_per_sec": 10**6 / sec}
+
+    monkeypatch.setattr(bench, "run_crawl", fake_crawl)
+    out = bench.bench_scaling()
+    assert out["flap_archived"]["key"] == "crawl_8to32"
+    # the reported numbers are the surviving primary's
+    assert out["crawl_scaling_efficiency"] == prev["median_efficiency"]
+    stored = json.loads(store_path.read_text())
+    assert stored["crawl_8to32"] == prev
+    hist = stored["crawl_8to32_history"]
+    assert hist["verdict"] == "not_met_undecidable"
+    assert hist["pair_efficiencies"] == [0.333]
+
+
 def test_amdahl_fit_derives_rounds_from_legs():
     import bench
 
