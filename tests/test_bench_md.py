@@ -165,6 +165,32 @@ def test_write_baseline_md_renders_unknown_crawl_keys(tmp_path, monkeypatch):
     assert "local[4] ⇄ local[16]" in md
 
 
+def test_write_baseline_md_renders_roundcost_s8(tmp_path, monkeypatch):
+    """A stored --roundcost run must render as study S8 with its phase
+    breakdown and the previous run as provenance context."""
+    import bench
+
+    rc = {
+        "cores": 8,
+        "profiles": [{"wall_s": w} for w in (6.3, 3.5, 2.7, 2.2, 1.8, 1.8)],
+        "median_round_s": 2.2,
+        "phase_medians_s": {"head_s": 0.4, "plan_s": 0.5, "wave_s": 1.0,
+                            "post_s": 0.01},
+        "calibration_probe_sec": 2.8,
+    }
+    store = {
+        "roundcost": rc,
+        "roundcost_history": [dict(rc, median_round_s=5.2,
+                                   calibration_probe_sec=2.5)],
+    }
+    monkeypatch.setattr(bench, "_STORE_PATH", str(tmp_path / "BENCH" / "s.json"))
+    os.makedirs(tmp_path / "BENCH")
+    bench._write_baseline_md(store)
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "S8" in md and "b = 2.20 s/round" in md
+    assert "Previous recorded run: 5.20 s/round" in md
+
+
 def test_write_baseline_md_renders_all_protocols(tmp_path, monkeypatch):
     """The renderer must compose every stored protocol and the fit verdict."""
     import bench
