@@ -598,6 +598,17 @@ def bench_roundcost() -> dict:
         )
     spark.stop()
     shutil.rmtree(wd, ignore_errors=True)
+    if len(profiles) < 2:
+        # a degenerate config (exhausted seeds, tiny budget) can finish in
+        # 0-1 rounds — median over the warmup-trimmed tail would raise; a
+        # refusal dict beats a stack trace, and the store stays untouched
+        return {
+            "refused": "too_few_rounds",
+            "rounds_profiled": len(profiles),
+            "detail": "roundcost needs >=2 crawl rounds (round 1 is JIT "
+            "warmup and is trimmed); check seeds/budget",
+            "calibration_probe_sec": opening_probe,
+        }
     steady = profiles[1:]  # round 1 pays first-codegen/JIT warmup
     out = {
         "cores": 8,

@@ -79,8 +79,11 @@ def register_udfs():
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
-    key = active.sparkContext.applicationId if active is not None else ""
-    if _UDF_CACHE is not None and _UDF_CACHE[0] == key:
+    # no active session → no applicationId to memoize against: build fresh
+    # handles and do NOT cache them (two sessionless callers in different
+    # restarted contexts must never share JVM handles via an "" key)
+    key = active.sparkContext.applicationId if active is not None else None
+    if key is not None and _UDF_CACHE is not None and _UDF_CACHE[0] == key:
         return _UDF_CACHE[1]
     import pandas as pd
     from pyspark.sql import functions as F
@@ -103,12 +106,11 @@ def register_udfs():
     def urljoin_udf(bases: pd.Series, links: pd.Series) -> pd.Series:
         return pd.Series([_urljoin(b, l) for b, l in zip(bases, links)], dtype="object")
 
-    _UDF_CACHE = (
-        key,
-        {
-            "canonical": canonical_udf,
-            "fingerprint": fingerprint_udf,
-            "urljoin": urljoin_udf,
-        },
-    )
-    return _UDF_CACHE[1]
+    udfs = {
+        "canonical": canonical_udf,
+        "fingerprint": fingerprint_udf,
+        "urljoin": urljoin_udf,
+    }
+    if key is not None:
+        _UDF_CACHE = (key, udfs)
+    return udfs

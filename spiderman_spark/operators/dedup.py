@@ -467,14 +467,15 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
-    algorithm: str = "minlabel",
+    algorithm: str = "auto",
+    switch_after: int = 4,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """(did, rep): connected components over near-dup pairs — the cluster-
     resolution step after LSH pair generation, so a pipeline can keep ONE
     canonical document (the minimum id) per near-dup cluster.
 
-    ``algorithm='minlabel'`` (default): every vertex starts labelled with
+    ``algorithm='minlabel'``: every vertex starts labelled with
     itself; each iteration pushes labels across (symmetrized) edges and
     keeps the minimum; stop when no label changes.  Per iteration: one
     shuffle keyed by vertex (map-side combined min), one small count action,
@@ -489,12 +490,28 @@ def neardup_components(
     round-count win is asserted on a path-graph fixture).  Convergence is
     checked once per alternating round via an exact edge-set comparison.
 
-    ``stats_out``: optional dict; receives ``{"iterations": n}``.
-    Both variants fail loud on non-convergence."""
+    ``algorithm='auto'`` (default — round-4 verdict #6): minlabel's
+    per-round cost is lower (one keyed shuffle vs two + a join), so start
+    there; if the graph has NOT converged after ``switch_after`` rounds the
+    diameter is evidently large, so CONTRACT the graph through the partial
+    labels (every ≤switch_after-radius neighborhood collapses to its min —
+    the cliques near-dup graphs are made of vanish here) and finish the
+    residual long-diameter skeleton with the star rounds.  Short-diameter
+    graphs pay exactly the minlabel cost; path-like graphs pay
+    switch_after + ~log(diameter) rounds instead of diameter.
+
+    ``stats_out``: optional dict; receives ``{"iterations": n,
+    "algorithm_used": ..., "switched": bool}``.
+    All variants fail loud on non-convergence."""
     if algorithm == "star":
-        return _components_star(pairs, id_a, id_b, max_iters, stats_out)
-    if algorithm != "minlabel":
+        out = _components_star(pairs, id_a, id_b, max_iters, stats_out)
+        if stats_out is not None:
+            stats_out["algorithm_used"] = "star"
+            stats_out["switched"] = False
+        return out
+    if algorithm not in ("minlabel", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    budget = min(switch_after, max_iters) if algorithm == "auto" else max_iters
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint()
@@ -505,7 +522,7 @@ def neardup_components(
         .localCheckpoint()
     )
     changed, it = -1, 0
-    for it in range(1, max_iters + 1):
+    for it in range(1, budget + 1):
         pushed = (
             edges.join(lab, edges["a"] == lab["v"])
             .select(F.col("b").alias("v"), "lbl")
@@ -525,15 +542,42 @@ def neardup_components(
         lab = new
         if changed == 0:
             break
+    if changed == 0 or algorithm == "minlabel":
+        if stats_out is not None:
+            stats_out["iterations"] = it
+            stats_out["algorithm_used"] = "minlabel"
+            stats_out["switched"] = False
+        if changed != 0:
+            # an un-converged labelling is NOT a component map — fail loud
+            raise RuntimeError(
+                f"neardup_components: not converged after {max_iters} "
+                f"iterations ({changed} labels still changing); raise "
+                "max_iters"
+            )
+        return lab.select(F.col("v").alias("did"), F.col("lbl").alias("rep"))
+    # auto, not converged within switch_after: contract every vertex to its
+    # partial min-label (labels never cross components, so the contracted
+    # graph has the same component structure over far fewer vertices) and
+    # run the log-diameter star rounds on the residual skeleton
+    contracted = (
+        edges.join(lab.withColumnRenamed("v", "a").withColumnRenamed("lbl", "la"), "a")
+        .join(lab.withColumnRenamed("v", "b").withColumnRenamed("lbl", "lb"), "b")
+        .select(F.col("la").alias("id_a"), F.col("lb").alias("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    s_star: dict = {}
+    star = _components_star(contracted, "id_a", "id_b", max_iters, s_star)
     if stats_out is not None:
-        stats_out["iterations"] = it
-    if changed != 0:
-        # an un-converged labelling is NOT a component map — fail loud
-        raise RuntimeError(
-            f"neardup_components: not converged after {max_iters} iterations "
-            f"({changed} labels still changing); raise max_iters"
-        )
-    return lab.select(F.col("v").alias("did"), F.col("lbl").alias("rep"))
+        stats_out["iterations"] = it + s_star["iterations"]
+        stats_out["minlabel_iterations"] = it
+        stats_out["star_iterations"] = s_star["iterations"]
+        stats_out["algorithm_used"] = "star"
+        stats_out["switched"] = True
+    return (
+        lab.join(star.withColumnRenamed("did", "lbl"), "lbl")
+        .select(F.col("v").alias("did"), F.col("rep"))
+    )
 
 
 def _components_star(
@@ -556,18 +600,20 @@ def _components_star(
     isolated-by-orientation nodes label themselves.  Convergence test is an
     EXACT set comparison (count + anti-join), run once per alternating
     round — half the driver actions of a per-pass check."""
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
-        F.col("a") != F.col("b")
-    )
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    e = raw.where(F.col("a") != F.col("b"))
     E = (
         e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
         .localCheckpoint()
     )
     n_edges = E.count()
+    # vertex set from the UNFILTERED pairs: a vertex whose only pair is a
+    # self-pair must still appear (self-labelled) in the output, exactly as
+    # minlabel emits it — the two algorithms are documented drop-in equals
     vertices = (
-        E.select(F.col("u").alias("did"))
-        .union(E.select(F.col("v").alias("did")))
+        raw.select(F.col("a").alias("did"))
+        .union(raw.select(F.col("b").alias("did")))
         .distinct()
         .localCheckpoint()
     )

@@ -19,7 +19,7 @@ def _run_both(spark, edges, max_iters_minlabel=40, max_iters_star=25):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     s_min, s_star = {}, {}
     ml = dedup.neardup_components(
-        pairs, max_iters=max_iters_minlabel, stats_out=s_min
+        pairs, max_iters=max_iters_minlabel, algorithm="minlabel", stats_out=s_min
     )
     st = dedup.neardup_components(
         pairs, max_iters=max_iters_star, algorithm="star", stats_out=s_star
@@ -60,6 +60,42 @@ def test_star_halves_rounds_on_path_graph(spark):
     assert all(r == 0 for _, r in st)
     assert s_min["iterations"] >= 16
     assert s_star["iterations"] * 2 <= s_min["iterations"], (s_star, s_min)
+
+
+def test_auto_switches_to_star_on_long_path(spark):
+    """Round-4 verdict #6: on a long-path graph (diameter >> switch_after)
+    the 'auto' default contracts after switch_after minlabel rounds and
+    finishes with star — far fewer total rounds than the diameter."""
+    edges = [(i, i + 1) for i in range(32)]  # diameter 32
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    s = {}
+    auto = dedup.neardup_components(pairs, max_iters=40, stats_out=s)
+    assert s["switched"] and s["algorithm_used"] == "star"
+    assert s["iterations"] < 16, s  # vs 32 minlabel rounds
+    assert _labels(auto) == {(i, 0) for i in range(33)}
+
+
+def test_auto_stays_minlabel_on_clique(spark):
+    """Short-diameter near-dup shapes converge inside the switch budget and
+    never pay the star rounds."""
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    pairs = spark.createDataFrame(clique, "id_a long, id_b long")
+    s = {}
+    auto = dedup.neardup_components(pairs, stats_out=s)
+    assert not s["switched"] and s["algorithm_used"] == "minlabel"
+    assert _labels(auto) == {(i, 0) for i in range(6)}
+
+
+def test_self_pair_vertices_covered_by_both_algorithms(spark):
+    """ADVICE r4: a vertex whose ONLY pair is a self-pair must appear
+    (self-labelled) under every algorithm — the drop-in-equal contract."""
+    pairs = spark.createDataFrame(
+        [(7, 7), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    want = {(7, 7), (2, 2), (3, 2), (4, 2)}
+    for alg in ("minlabel", "star", "auto"):
+        got = _labels(dedup.neardup_components(pairs, algorithm=alg))
+        assert got == want, (alg, got)
 
 
 def test_star_empty_and_failfast(spark):
