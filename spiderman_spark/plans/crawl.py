@@ -113,6 +113,11 @@ class CrawlConfig:
     # compact the url_seen table (the only state table *read* every round)
     # every N rounds so its file count stays O(1) instead of O(rounds)
     compact_every: int = 8
+    # size-tiered compaction threshold: only manifest entries SMALLER than
+    # this are bin-packed; parts that grow past it become base and are never
+    # re-read (TableIO.compact_small) — compaction I/O stays proportional to
+    # appended bytes, not to the url_seen corpus (O(TB) at 10^10 URLs)
+    compact_threshold_bytes: int = 64 << 20
     # rows per written parquet file for per-round state appends; rounds are
     # budget-bounded so appends are small — without this every tiny append
     # would fan out into shuffle.partitions-many files
@@ -616,12 +621,18 @@ class CrawlEngine:
         seen_tb = self.catalog.table("url_seen")
         from concurrent.futures import ThreadPoolExecutor
 
+        # drop_empty: an idle/cleans round's empty append must not grow the
+        # reader's file list O(rounds) between compactions (footer-only check)
         writes = [
             lambda: self.catalog.table("crawl_order").append(self._sized(order_rows, n_eligible)),
-            lambda: self.catalog.table("failed").append(self._sized(failed, n_eligible)),
-            lambda: self.catalog.table("items_raw").append(self._sized(items, n_items_est)),
+            lambda: self.catalog.table("failed").append(
+                self._sized(failed, n_eligible), drop_empty=True
+            ),
+            lambda: self.catalog.table("items_raw").append(
+                self._sized(items, n_items_est), drop_empty=True
+            ),
             lambda: self.catalog.table("frontier").replace(self._sized(new_pending, self._pending_est)),
-            lambda: seen_tb.append(self._sized(new_seen, n_eligible * 8)),
+            lambda: seen_tb.append(self._sized(new_seen, n_eligible * 8), drop_empty=True),
         ]
         if self.bloom is not None:
             # the delta build is its own job over the gated cache — run it
@@ -649,8 +660,12 @@ class CrawlEngine:
         ):
             # keep the per-round anti-join's scan list O(1) in round count —
             # skipped entirely when nothing was appended since the last
-            # compaction (idle tail rounds)
-            seen_tb.replace(self._sized(seen_tb.read(), self.rank_base * 8))
+            # compaction (idle tail rounds).  Size-tiered: only the small
+            # per-round append parts are bin-packed; base parts above the
+            # threshold carry over verbatim, so compaction I/O is
+            # proportional to appended bytes, never to the table (round-4
+            # verdict #1 — the last O(corpus)-recurring cost in the loop)
+            seen_tb.compact_small(cfg.compact_threshold_bytes, ddl=URL_SEEN_DDL)
             self._seen_appended = 0
         if self.bloom is not None:
             # all jobs that probed via the live broadcast have completed by

@@ -92,10 +92,84 @@ class ParquetManifestTable:
         df.write.mode("overwrite").parquet(os.path.join(self.root, part))
         return part
 
-    def append(self, df, props: dict | None = None) -> int:
+    def part_bytes(self, entry: str) -> int:
+        """Total data-file bytes of one manifest entry (driver-side listing)."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(self.root, entry)):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return total
+
+    def part_rows(self, entry: str) -> int:
+        """Row count of one entry from parquet FOOTERS only (no data read)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(self.root, entry)):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    total += pq.read_metadata(os.path.join(dirpath, f)).num_rows
+        return total
+
+    def append(self, df, props: dict | None = None, drop_empty: bool = False) -> int:
+        """Append ``df`` as a new snapshot.  ``drop_empty=True``: if the
+        written part holds zero rows, remove it and commit NOTHING — the
+        per-round state appends are often empty (idle tail rounds, rounds
+        with no failures/items), and committing an empty part every round
+        grows the reader's file list O(rounds) between compactions.  The
+        emptiness check reads parquet footers only (driver-side, O(files in
+        the new part))."""
         part = self._write_data(df)
+        if drop_empty and self.part_rows(part) == 0:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.root, part), ignore_errors=True)
+            return self.current_version()
         files = self._manifest()["files"] + [part]
         return self._commit(files, props or {})
+
+    def compact_small(
+        self,
+        threshold_bytes: int,
+        ddl: str | None = None,
+        props: dict | None = None,
+    ) -> dict:
+        """Size-tiered compaction: bin-pack only manifest entries SMALLER
+        than ``threshold_bytes`` (the per-round appends) into one new part;
+        every entry at/above the threshold carries over verbatim — its
+        immutable files are never re-read or re-written.  Compaction I/O is
+        therefore proportional to appended bytes, not table size: once a
+        packed part outgrows the threshold it becomes base and is never
+        touched again, so each byte is rewritten O(threshold/append) times
+        amortized — vs the previous replace(read()) full-table rewrite,
+        O(corpus) recurring at the north rule's 10^10-URL url_seen scale.
+        Returns {"compacted", "kept", "bytes_read"}; commits nothing when
+        fewer than two entries qualify (nothing to pack)."""
+        m = self._manifest()
+        if any(self._bucket_of(f) is not None for f in m["files"]):
+            raise ValueError(
+                f"compact_small: table {self.name!r} is bucketed — use "
+                "merge_buckets granularity instead"
+            )
+        sizes = {f: self.part_bytes(f) for f in m["files"]}
+        small = [f for f in m["files"] if sizes[f] < threshold_bytes]
+        if len(small) < 2:
+            return {"compacted": 0, "kept": len(m["files"]), "bytes_read": 0}
+        reader = self.spark.read
+        if ddl is not None:
+            reader = reader.schema(ddl)
+        packed = reader.parquet(*[os.path.join(self.root, f) for f in small])
+        bytes_read = sum(sizes[f] for f in small)
+        # pack to ~threshold-sized files so the output crosses into base
+        # after O(threshold/append) cycles
+        packed = packed.coalesce(max(1, bytes_read // max(threshold_bytes, 1) + 1))
+        part = self._write_data(packed)
+        keep = [f for f in m["files"] if f not in set(small)]
+        self._commit(keep + [part], {**m["props"], **(props or {})})
+        return {"compacted": len(small), "kept": len(keep), "bytes_read": bytes_read}
 
     def replace(self, df, props: dict | None = None) -> int:
         """Replace table contents (snapshot-isolated truncate+write)."""
