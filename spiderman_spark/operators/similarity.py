@@ -111,17 +111,28 @@ def embedding_neardup_lsh(
     max_bucket_rows: int | None = 8192,
     oversize_policy: str = "salt",
     materialize: bool = True,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane sign sketch →
     per-band bucket self-joins (min-band, exactly-once) → exact cosine verify
     on candidates only.
 
+    The band self-joins shuffle a NARROW (id, sketch-long) frame only —
+    round-4 verdict #2: the previous shape carried both embedding vectors
+    through every per-band exchange, multiplying the dominant shuffle's
+    bytes by ~bands× at production dims (768-4096 floats).  Vectors are
+    joined back onto the (output-proportional) candidate stream for the
+    cosine verify, broadcast-adaptively when the doc count fits under
+    ``broadcast_max_rows`` (the ``minhash_lsh_pairs`` shape).
+
     ``materialize=True`` (default): the sketch frame is persisted — the
     2×bands band-join branches (and the hot-bucket counting pass) would
-    otherwise each recompute the planes×dim projections — and the
-    output-proportional verified pairs are checkpointed so the cache is
+    otherwise each recompute the planes×dim projections — the candidate
+    frame is persisted as a plan barrier (dedup'd pairs first, verify
+    second), and the verified pairs are checkpointed so every cache is
     released before returning.  ``materialize=False`` returns the lazy plan
-    (guard disabled — its counting pass is an action).
+    (guard disabled — its counting pass is an action; no broadcast hint —
+    let AQE pick).
 
     Cost is O(rows × planes) sketching + per-band joins keyed by the sketch
     slice, whose groups stay small; the pair stream itself is never shuffled.
@@ -138,24 +149,25 @@ def embedding_neardup_lsh(
         F.col(vec_col).alias("vec"),
         sign_sketch(F.col(vec_col), dim, planes).alias("_sk"),
     )
+    n_rows = None
     if materialize:
         sk = sk.persist()
+        # one small action: eagerly populates the cache before the 2×bands
+        # lazy band branches race it, doubles as the guard's free x_rows
+        # bound and the verify-join broadcast decision
+        n_rows = sk.count()
 
     def slice_of(col, b):
         return F.shiftright(col, b * bits_per_band).bitwiseAND(F.lit(mask))
 
-    # Min-band candidates (dedup.minband_pair_union): the old cross-band
-    # `.distinct()` shuffled the bands-times-inflated pair stream WITH both
-    # embedding vectors in the row; the earlier-band filters need nothing
-    # beyond the two sketch longs the rows already carry.
+    # Min-band candidates (dedup.minband_pair_union) over the NARROW
+    # (id, sketch) projection: the earlier-band filters need nothing beyond
+    # the two sketch longs, and no band exchange ever carries a vector
+    # (plan-asserted in tests/test_plans.py).
     from .dedup import minband_pair_union
 
-    x = sk.select(
-        F.col("did").alias("id_a"), F.col("vec").alias("va"), F.col("_sk").alias("ska")
-    )
-    y = sk.select(
-        F.col("did").alias("id_b"), F.col("vec").alias("vb"), F.col("_sk").alias("skb")
-    )
+    x = sk.select(F.col("did").alias("id_a"), F.col("_sk").alias("ska"))
+    y = sk.select(F.col("did").alias("id_b"), F.col("_sk").alias("skb"))
     cand = minband_pair_union(
         x,
         y,
@@ -165,9 +177,22 @@ def embedding_neardup_lsh(
         max_bucket_rows=max_bucket_rows if materialize else None,
         oversize_policy=oversize_policy,
         salt_col_a="id_a",
-    ).select("id_a", "va", "id_b", "vb")
+        x_rows=n_rows,
+    ).select("id_a", "id_b")
+    if materialize:
+        # plan barrier (the minhash_lsh_pairs lesson): left open, Catalyst
+        # pushes the verify's vector joins INTO the union branches ahead of
+        # the min-band filters — the exact shuffle-bytes blow-up this
+        # narrowing removes
+        cand = cand.persist()
+    a = sk.select(F.col("did").alias("id_a"), F.col("vec").alias("va"))
+    b = sk.select(F.col("did").alias("id_b"), F.col("vec").alias("vb"))
+    if n_rows is not None and n_rows <= broadcast_max_rows:
+        a, b = F.broadcast(a), F.broadcast(b)
     out = (
-        cand.select(
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")) * 10000).cast("long").alias("sim_x10k"),
@@ -176,6 +201,7 @@ def embedding_neardup_lsh(
     )
     if materialize:
         out = out.localCheckpoint()
+        cand.unpersist()
         sk.unpersist()
     return out
 

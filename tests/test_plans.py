@@ -111,3 +111,42 @@ def test_parse_rebalance_modes_are_semantically_neutral(spark, tmp_path):
         for r in engine.crawl_order().orderBy("rank").collect()
     ]
     assert got == ref.crawl_order
+
+
+def _exchange_blocks(plan: str) -> list[str]:
+    """Split a formatted plan's detail section into per-node blocks and
+    return those that are shuffle Exchanges."""
+    blocks, cur = [], []
+    for line in plan.splitlines():
+        if line.startswith("(") and ") " in line:
+            if cur:
+                blocks.append("\n".join(cur))
+            cur = [line]
+        elif cur:
+            cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    return [b for b in blocks if b.split("\n", 1)[0].rstrip().endswith("Exchange")]
+
+
+def test_embedding_lsh_band_exchanges_are_narrow(spark):
+    """Round-4 verdict #2: the embedding-LSH band self-joins must shuffle
+    only (id, sketch-long) rows — no Exchange keyed on a band slice
+    (shiftright of the sketch) may carry an embedding vector column.  At
+    production dims a vector-carrying band exchange multiplies the dominant
+    shuffle's bytes by ~bands×."""
+    from spiderman_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    lazy = similarity.embedding_neardup_lsh(
+        emb, dim=dim, threshold=0.35, materialize=False
+    )
+    plan = plan_of(lazy)
+    band_exchanges = [
+        b for b in _exchange_blocks(plan) if "shiftright" in b
+    ]
+    assert band_exchanges, "expected band-keyed exchanges in the lazy plan"
+    for b in band_exchanges:
+        input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert "va" not in input_line and "vb" not in input_line and "vec" not in input_line, b
