@@ -91,14 +91,65 @@ def stopword_score_bp(col, lang: str) -> Column:
     return F.floor(stopword_hits(col, lang) * 10000 / F.lit(n)).cast("long")
 
 
+def _stopword_mask_map():
+    """Literal map token → 14-bit language-membership mask (bit i set when
+    the token is a stopword of language i in ``LANG_STOPWORDS`` order).
+    Cross-language shared words ('de' in de/pt/nl/ro) carry multiple bits."""
+    langs = list(LANG_STOPWORDS)
+    mask: dict[str, int] = {}
+    for i, lang in enumerate(langs):
+        for w in LANG_STOPWORDS[lang]:
+            mask[w] = mask.get(w, 0) | (1 << i)
+    kv = []
+    for w, m in mask.items():
+        kv.extend([F.lit(w), F.lit(m)])
+    return F.create_map(*kv), langs
+
+
 def lang_id(col) -> Column:
     """Heuristic language ID over 14 languages: argmax of ratio-normalized
     per-language stopword scores (ties break to the lexicographically larger
     language code — a total order both engines share); 'und' (undetermined)
-    when no list scores > 0.  Pure Column exprs, whole-stage codegen."""
+    when no list scores > 0.
+
+    SINGLE pass over the token array (round-4 verdict #5): one ``aggregate``
+    folds every token through a token→language-bitmask map literal into a
+    14-wide hit-count array — the previous shape ran 14 independent
+    filter scans of the token array (one per language), visible as a 2×
+    q21 wall regression when the language set grew.  Score semantics are
+    bit-identical to ``stopword_score_bp`` (hits normalized by list size in
+    basis points).  Pure Column exprs, whole-stage codegen."""
+    mask_map, langs = _stopword_mask_map()
+    zeros = F.array_repeat(F.lit(0), len(langs))
+    powers = F.array(*[F.lit(1 << i) for i in range(len(langs))])
+    # per token: ONE map lookup (bound via a single-element transform — the
+    # Column API has no let), then 14 bit tests folded into the count array
+    counts = F.aggregate(
+        tokens(col),
+        zeros,
+        lambda acc, t: F.element_at(
+            F.transform(
+                F.array(F.coalesce(F.element_at(mask_map, F.lower(t)), F.lit(0))),
+                lambda m: F.zip_with(
+                    acc,
+                    powers,
+                    lambda c, p: c
+                    + F.when(m.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+                ),
+            ),
+            1,
+        ),
+    )
     scores = [
-        F.struct(stopword_score_bp(col, lang).alias("s"), F.lit(lang).alias("l"))
-        for lang in LANG_STOPWORDS
+        F.struct(
+            F.floor(
+                F.element_at(counts, i + 1) * 10000 / F.lit(len(LANG_STOPWORDS[lang]))
+            )
+            .cast("long")
+            .alias("s"),
+            F.lit(lang).alias("l"),
+        )
+        for i, lang in enumerate(langs)
     ]
     best = F.array_max(F.array(*scores))
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
