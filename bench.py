@@ -183,11 +183,51 @@ def run_download(spark, spec, corpus_path: str, image_path: str, budget: int) ->
     }
 
 
+def headline_window_stamp(probes: list) -> dict:
+    """Pure comparability stamp for BENCH_rNN.json (round-4 verdict #3's
+    structural fix: the official round artifact regressed nominally in a
+    degraded window while the engine got faster in like-for-like ones).
+    The LAST probe is the window the bench actually ran in."""
+    return {
+        "opening_probe_sec": probes[-1],
+        "probe_attempts": len(probes),
+        "probe_series_sec": probes,
+        "window_verdict": (
+            "quiet" if probes[-1] <= QUIET_PROBE_MAX_SEC else "degraded"
+        ),
+    }
+
+
+def await_quiet_window(
+    max_attempts: int | None = None,
+    sleep_sec: float = 90.0,
+    probe_fn=None,
+    sleep_fn=None,
+) -> list:
+    """Probe the machine window; while degraded, sleep and re-probe up to
+    ``max_attempts`` total probes (bounded — the per-round driver must not
+    hang forever).  Unlike --scaling's hard refusal, the headline bench
+    always RUNS eventually: a degraded number with a 'degraded' stamp beats
+    no number, and the stamp makes cross-round comparison mechanical."""
+    if max_attempts is None:
+        max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ATTEMPTS", "8"))
+    probe_fn = probe_fn or calibration_probe
+    sleep_fn = sleep_fn or time.sleep
+    probes = [probe_fn()]
+    while probes[-1] > QUIET_PROBE_MAX_SEC and len(probes) < max_attempts:
+        sleep_fn(sleep_sec)
+        probes.append(probe_fn())
+    return probes
+
+
 def bench_queries() -> dict:
     import __spark_entry__ as entrymod
     from spiderman_spark import corpusgen as cg
     from spiderman_spark import simulator as sim
 
+    # quiet-window gate (round-4 verdict #3): probe FIRST, retry into a
+    # quiet window when degraded, and stamp the verdict into the artifact
+    window_probes = await_quiet_window()
     # engine state / shuffle / checkpoints on tmpfs, same as --scaling: this
     # sandbox's one shared disk writes incompressible data at ~6 MB/s
     # (BENCH/BASELINE.md S1), so disk-backed local dirs measure the
@@ -228,7 +268,9 @@ def bench_queries() -> dict:
     spark.stop()
     # machine-state context for cross-round comparison: this sandbox has
     # measured ~14x throughput drift between identical runs (BASELINE.md S4),
-    # so a fixed CPU-bound probe is recorded next to every headline number
+    # so a fixed CPU-bound probe is recorded next to every headline number —
+    # opening stamp (the gate) + closing probe (drift across the run)
+    result.update(headline_window_stamp(window_probes))
     result["calibration_probe_sec"] = calibration_probe()
     return result
 

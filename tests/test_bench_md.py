@@ -52,6 +52,38 @@ def test_quiet_window_gate():
     assert bench.quiet_window_refusal(4.5, force=True) is None
 
 
+def test_headline_window_stamp_and_wait():
+    """Round-4 verdict #3: the headline bench probes FIRST, retries into a
+    quiet window (bounded), and stamps the verdict so BENCH_rNN.json
+    cross-round comparisons are mechanical."""
+    import bench
+
+    # stamp: quiet vs degraded read off the LAST probe (the run's window)
+    s = bench.headline_window_stamp([2.4])
+    assert s["window_verdict"] == "quiet" and s["probe_attempts"] == 1
+    s = bench.headline_window_stamp([4.1, 3.8, 2.2])
+    assert s["window_verdict"] == "quiet"
+    assert s["opening_probe_sec"] == 2.2 and s["probe_series_sec"] == [4.1, 3.8, 2.2]
+    s = bench.headline_window_stamp([4.1, 5.0])
+    assert s["window_verdict"] == "degraded"
+
+    # wait loop: degraded → sleeps and re-probes; quiet → returns at once;
+    # bounded → runs anyway after max_attempts (degraded stamp, never a hang)
+    seq = iter([4.5, 3.9, 2.1, 1.8])
+    slept = []
+    probes = bench.await_quiet_window(
+        max_attempts=8, sleep_sec=7, probe_fn=lambda: next(seq),
+        sleep_fn=slept.append,
+    )
+    assert probes == [4.5, 3.9, 2.1] and slept == [7, 7]
+    always_bad = iter([9.0] * 10)
+    probes = bench.await_quiet_window(
+        max_attempts=3, probe_fn=lambda: next(always_bad), sleep_fn=lambda s: None
+    )
+    assert probes == [9.0, 9.0, 9.0]
+    assert bench.headline_window_stamp(probes)["window_verdict"] == "degraded"
+
+
 def test_bench_scaling_refuses_in_noisy_window(tmp_path, monkeypatch):
     """End-to-end refusal path: a high probe makes bench_scaling return the
     refusal dict without running any leg or touching the store."""
