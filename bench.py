@@ -673,6 +673,105 @@ def bench_roundcost() -> dict:
     return out
 
 
+def bench_hotbucket() -> dict:
+    """Hot-bucket guard telemetry (round-4 verdict #7): the guard is
+    correctness-tested (`tests/test_hot_buckets.py`) but never fires on the
+    bench corpus, so the 100 TB claim had no measured overhead number.
+    Three configurations of ``minhash_lsh_pairs`` over the SAME degenerate
+    corpus (a mass-duplicated document that collapses every band onto one
+    bucket):
+
+    * ``off``   — max_bucket_rows=None: the unguarded quadratic bucket.
+    * ``free``  — cap ≥ corpus rows: the ``x_rows`` short-circuit must make
+      the guard ~zero-cost (no counting pass runs).
+    * ``salted`` — cap below the clone count: counting pass + the exact
+      salted branch fire.
+
+    All three must produce the IDENTICAL pair count (asserted, not assumed —
+    the 'salt' policy is exactness-preserving).  Quiet-window gated; stored
+    under ``hotbucket``; rendered as study S9."""
+    base = _scratch_base()
+    os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(base, "tmp"))
+    tempfile.tempdir = os.path.join(base, "tmp")
+    opening_probe = calibration_probe()
+    refusal = quiet_window_refusal(
+        opening_probe, force=os.environ.get("SPARK_GRAFT_SCALING_FORCE") == "1"
+    )
+    if refusal is not None:
+        return refusal
+    import random
+
+    from spiderman_spark.operators import dedup
+
+    spark = make_session(8, "hotbucket")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_unique, n_clones, cap = 4000, 800, 256
+    rng = random.Random(7)  # deterministic corpus — reruns are comparable
+    words = [f"w{i}" for i in range(500)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(30)))
+        for i in range(n_unique)
+    ]
+    clone_text = " ".join(rng.choice(words) for _ in range(30))
+    rows += [(n_unique + i, clone_text) for i in range(n_clones)]
+    df = spark.createDataFrame(rows, "did long, text string").repartition(8).persist()
+    df.count()
+
+    def one(tag: str, max_bucket_rows):
+        stats: dict = {}
+        t0 = time.perf_counter()
+        pairs = dedup.minhash_lsh_pairs(
+            df,
+            "did",
+            "text",
+            hash_family="xxhash64",
+            max_bucket_rows=max_bucket_rows,
+            lsh_stats=stats,
+        )
+        n = pairs.count()
+        hot = stats.get("hot") or {}
+        return {
+            "config": tag,
+            "max_bucket_rows": max_bucket_rows,
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "pairs": n,
+            "hot_buckets": sum(len(v) for v in hot.values()),
+            "salt_factors": stats.get("salt_factor") or {},
+        }
+
+    one("warmup", None)  # absorb first-codegen/JIT; discarded
+    runs = [
+        one("off", None),
+        one("free", n_unique + n_clones),  # x_rows bound ≥ rows → no count pass
+        one("salted", cap),
+    ]
+    spark.stop()
+    counts = {r["pairs"] for r in runs}
+    assert len(counts) == 1, f"guard changed the pair set: {runs}"
+    off = next(r for r in runs if r["config"] == "off")["wall_s"]
+    out = {
+        "corpus": {"unique_docs": n_unique, "clone_docs": n_clones, "cap": cap},
+        "runs": runs,
+        "pairs": counts.pop(),
+        "free_overhead_ratio": round(
+            next(r for r in runs if r["config"] == "free")["wall_s"] / off, 3
+        ),
+        "salted_overhead_ratio": round(
+            next(r for r in runs if r["config"] == "salted")["wall_s"] / off, 3
+        ),
+        "calibration_probe_sec": opening_probe,
+    }
+    store = _load_store()
+    if "hotbucket" in store:
+        store["hotbucket_history"] = store.get("hotbucket_history", []) + [
+            store["hotbucket"]
+        ]
+    store["hotbucket"] = out
+    _save_store(store)
+    _write_baseline_md(store)
+    return out
+
+
 _STORE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_store.json")
 
 
@@ -982,7 +1081,13 @@ fleet scaling_efficiency = {fl['eff']}
 
 image scaling_efficiency = {im['eff']}
 """
-    md += _STUDY_MD + _s7_section(store) + _s8_section(store) + _STUDY_MD_TAIL
+    md += (
+        _STUDY_MD
+        + _s7_section(store)
+        + _s8_section(store)
+        + _s9_section(store)
+        + _STUDY_MD_TAIL
+    )
     with open(os.path.join(os.path.dirname(_STORE_PATH), "BASELINE.md"), "w") as fh:
         fh.write(md)
 
@@ -1094,6 +1199,40 @@ this one: the 2-point regression attributes any per-page-cost difference
 between corpus SHAPES (round size changes shuffle/amortization regimes —
 and any window drift between the two protocols' sessions) to the fixed
 term, while this is the fixed term observed alone.
+"""
+
+
+def _s9_section(store: dict) -> str:
+    """Hot-bucket guard overhead on a degenerate corpus (bench.py --hotbucket)."""
+    hb = store.get("hotbucket")
+    if not hb:
+        return ""
+    c = hb["corpus"]
+    rows = "\n".join(
+        f"| {r['config']} | {r['max_bucket_rows']} | {r['wall_s']:.2f} | "
+        f"{r['hot_buckets']} | {r['salt_factors'] or '—'} |"
+        for r in hb["runs"]
+    )
+    return f"""
+### S9 — (round 5) hot-bucket guard overhead, measured on a degenerate corpus
+
+`bench.py --hotbucket`: {c['unique_docs']} unique docs + {c['clone_docs']}
+clones of one document (every minhash band collapses onto one bucket), cap
+{c['cap']}, quiet-window-gated (probe {hb['calibration_probe_sec']:.2f} s).
+All three configurations produced the IDENTICAL {hb['pairs']} verified
+pairs — the 'salt' policy is exactness-preserving, asserted per run.
+
+| config | cap | wall s | hot buckets | salt factors |
+|---|---|---|---|---|
+{rows}
+
+**Guard below the cap costs {hb['free_overhead_ratio']}× the unguarded
+run** (the `x_rows` short-circuit skips the counting pass entirely — the
+common-path claim, now measured). **The firing guard costs
+{hb['salted_overhead_ratio']}×**: one narrow counting pass plus the salted
+branch, in exchange for bounding the quadratic bucket's largest task at
+cap×cap — at 10^10-frontier scale that bound is the difference between a
+straggler task owning an m² clone clique and ceil(m/cap) bounded tasks.
 """
 
 
@@ -1229,6 +1368,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--roundcost" in sys.argv:
         print(json.dumps(bench_roundcost(), default=str))
+        sys.exit(0)
+    if "--hotbucket" in sys.argv:
+        print(json.dumps(bench_hotbucket(), default=str))
         sys.exit(0)
     if "--scaling-exec" in sys.argv:
         print(json.dumps(bench_scaling(exec_only=True), default=str))
