@@ -84,6 +84,28 @@ def xxh64_signed(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def xxh64_perm(base: int, i: int, seed: int = 42) -> int:
+    """Replicates Spark's TWO-column ``xxhash64(long_col, int_literal)``
+    exactly: Spark folds left-to-right with the running hash as the next
+    stage's seed — hashLong(base, 42) then hashInt(i, ·) — and each typed
+    stage equals the generic byte algorithm over the value's little-endian
+    bytes (verified bit-for-bit vs Spark in tests/test_xxh64.py).
+
+    This is the MinHash permutation family of the xxhash64 hash family
+    (operators/dedup.minhash_value): one string hash per gram, then k of
+    these cheap 8-byte rehashes — the q34 fixture oracle computes the same
+    values with this function.  ``base`` accepts Spark's signed value or
+    the unsigned equivalent (same 64-bit pattern)."""
+    base &= _M  # signed → bit-identical unsigned
+    t = xxh64(base.to_bytes(8, "little"), seed)
+    return xxh64((i & 0xFFFFFFFF).to_bytes(4, "little"), t)
+
+
+def xxh64_perm_signed(base: int, i: int) -> int:
+    h = xxh64_perm(base, i)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def pick_rotating(options: list, key: str):
     """Driver-side mirror of ``functions.scalars.pick_rotating``:
     ``options[pmod(xxhash64(key), len(options))]``."""

@@ -99,13 +99,18 @@ def minhash_value(gram_col, i: int, hash_family: str = "md5"):
     it encodes, so ``array_min`` is the permutation minimum, and the
     *identical* expression exists in DuckDB (``substring(md5(...), 1, 16)``).
 
-    ``xxhash64``: signed-long xxhash64('<i>:' || gram) — far cheaper in the
-    JVM (no cryptographic rounds, no hex string); min under the signed total
-    order is an equally valid permutation minimum.  DuckDB has no xxhash64,
-    so the oracle for this family joins a fixture table of (i, gram, hash)
-    rows produced by the independent pure-Python ``functions.xxh64``."""
+    ``xxhash64``: signed-long xxhash64(xxhash64(gram), i) — far cheaper in
+    the JVM than the md5 family (no cryptographic rounds, no hex string),
+    and cheaper than the previous xxhash64('<i>:' || gram) form by a large
+    constant: the gram string is hashed ONCE, and each of the k permutations
+    is an 8-byte long rehash (seed-chained two-column xxhash64 — a proper
+    PRF, so permutation quality is unchanged) instead of k string concats +
+    k full string hashes.  Min under the signed total order is an equally
+    valid permutation minimum.  DuckDB has no xxhash64, so the oracle for
+    this family joins a fixture table of (i, gram, hash) rows produced by
+    the independent pure-Python ``functions.xxh64.xxh64_perm``."""
     if hash_family == "xxhash64":
-        return F.xxhash64(F.concat(F.lit(f"{i}:"), gram_col))
+        return F.xxhash64(F.xxhash64(gram_col), F.lit(i))
     return F.substring(F.md5(F.concat(F.lit(f"{i}:"), gram_col)), 1, 16)
 
 
@@ -124,7 +129,34 @@ def minhash_signatures(
     return sh.select("did", _sig_expr(k, hash_family).alias("sig"))
 
 
+LONG_MAX = (1 << 63) - 1
+
+
 def _sig_expr(k: int, hash_family: str = "md5"):
+    if hash_family == "xxhash64":
+        # SINGLE pass over the gram array (higher-order functions are
+        # interpreted, not codegen'd — the k-transforms shape below walks
+        # the array k times AND re-hashes the gram string each walk).  Per
+        # gram: one string hash, bound via a single-element transform (the
+        # Column API has no let), then k cheap 8-byte rehashes; per-
+        # permutation minima fold through zip_with(least).  Identical
+        # values to minhash_value(g, i, 'xxhash64') — fixture-oracled.
+        def per_gram(g):
+            return F.element_at(
+                F.transform(
+                    F.array(F.xxhash64(g)),
+                    lambda h: F.array(*[F.xxhash64(h, F.lit(i)) for i in range(k)]),
+                ),
+                1,
+            )
+
+        return F.aggregate(
+            "grams",
+            F.array_repeat(F.lit(LONG_MAX).cast("long"), k),
+            lambda acc, g: F.zip_with(acc, per_gram(g), lambda a, b: F.least(a, b)),
+        )
+
+    # md5 family (directly SQL-oracle-able; hex-string minima).
     # NB: close over i via a factory — a `lambda g, i=i:` default-arg would
     # make F.transform see a TWO-arg callable and feed the array index in as
     # the second argument, silently collapsing all k permutations into one

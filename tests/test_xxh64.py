@@ -73,3 +73,23 @@ def test_pick_rotating_mirrors_spark(spark):
     }
     for u in urls:
         assert pick_rotating(options, u) == got[u]
+
+
+def test_xxh64_perm_matches_spark_two_column_fold(spark):
+    """The r5 MinHash permutation family — xxhash64(xxhash64(gram), i) —
+    must be replicated bit-for-bit by the pure-Python xxh64_perm chain
+    (hashLong then hashInt with seed threading), across sign boundaries
+    and permutation indices."""
+    from spiderman_spark.functions.xxh64 import xxh64, xxh64_perm_signed
+
+    values = EDGE_CASES
+    df = spark.createDataFrame([(v,) for v in values], "g string")
+    for i in (0, 1, 7, 31):
+        got = {
+            r["g"]: r["h"]
+            for r in df.select(
+                "g", F.xxhash64(F.xxhash64("g"), F.lit(i)).alias("h")
+            ).collect()
+        }
+        for g in values:
+            assert xxh64_perm_signed(xxh64(g.encode()), i) == got[g], (g, i)
