@@ -230,8 +230,9 @@ def q18_minhash_lsh(spark, sf_dir):
 
 
 def q34_minhash_lsh_fast(spark, sf_dir):
-    """MinHash+LSH, xxhash64 fast family — the production/bench path (one
-    JVM xxhash64 per gram-permutation instead of md5 hex).  Same pipeline as
+    """MinHash+LSH, xxhash64 fast family — the production/bench path (ONE
+    JVM string hash per gram + k cheap 8-byte seed-chained rehashes, folded
+    in a single pass, instead of md5 hex per gram-permutation).  Same pipeline as
     q18; the oracle joins the per-gram hash fixture materialized by the
     independent pure-Python xxh64 (spiderman_spark/oraclegen.py), then
     banding + verify in SQL."""

@@ -665,8 +665,12 @@ class CrawlEngine:
             # threshold carry over verbatim, so compaction I/O is
             # proportional to appended bytes, never to the table (round-4
             # verdict #1 — the last O(corpus)-recurring cost in the loop)
-            seen_tb.compact_small(cfg.compact_threshold_bytes, ddl=URL_SEEN_DDL)
+            compaction = seen_tb.compact_small(
+                cfg.compact_threshold_bytes, ddl=URL_SEEN_DDL
+            )
             self._seen_appended = 0
+        else:
+            compaction = None
         if self.bloom is not None:
             # all jobs that probed via the live broadcast have completed by
             # here (the wave is eager), so after merging the round's delta
@@ -679,13 +683,16 @@ class CrawlEngine:
 
         self.next_seq += n_eligible * stride
         self.rank_base += n_eligible
-        self._checkpoint(
-            lineage={
-                "round": self.round,
-                "n_eligible": n_eligible,
-                "n_children": n_children,
-            }
-        )
+        lineage = {
+            "round": self.round,
+            "n_eligible": n_eligible,
+            "n_children": n_children,
+        }
+        if compaction is not None:
+            # per-round lineage records what compaction actually touched —
+            # the proportional-I/O invariant is observable, not assumed
+            lineage["url_seen_compaction"] = compaction
+        self._checkpoint(lineage=lineage)
         parsed.unpersist()
         found.unpersist()
         tagged.unpersist()
