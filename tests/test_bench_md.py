@@ -223,6 +223,37 @@ def test_write_baseline_md_renders_roundcost_s8(tmp_path, monkeypatch):
     assert "Previous recorded run: 5.20 s/round" in md
 
 
+def test_write_baseline_md_renders_hotbucket_s9(tmp_path, monkeypatch):
+    """A stored --hotbucket study must render as S9 with the per-config
+    table and both overhead ratios."""
+    import bench
+
+    store = {
+        "hotbucket": {
+            "corpus": {"unique_docs": 4000, "clone_docs": 800, "cap": 256},
+            "runs": [
+                {"config": "off", "max_bucket_rows": None, "wall_s": 2.5,
+                 "pairs": 319600, "hot_buckets": 0, "salt_factors": {}},
+                {"config": "free", "max_bucket_rows": 4800, "wall_s": 2.2,
+                 "pairs": 319600, "hot_buckets": 0, "salt_factors": {}},
+                {"config": "salted", "max_bucket_rows": 256, "wall_s": 5.3,
+                 "pairs": 319600, "hot_buckets": 8,
+                 "salt_factors": {"0": 4}},
+            ],
+            "pairs": 319600,
+            "free_overhead_ratio": 0.88,
+            "salted_overhead_ratio": 2.12,
+            "calibration_probe_sec": 2.4,
+        }
+    }
+    monkeypatch.setattr(bench, "_STORE_PATH", str(tmp_path / "BENCH" / "s.json"))
+    os.makedirs(tmp_path / "BENCH")
+    bench._write_baseline_md(store)
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "S9" in md and "IDENTICAL 319600 verified" in md
+    assert "costs 0.88×" in md and "costs\n2.12×" in md.replace("**", "")
+
+
 def test_write_baseline_md_renders_all_protocols(tmp_path, monkeypatch):
     """The renderer must compose every stored protocol and the fit verdict."""
     import bench
