@@ -772,6 +772,89 @@ def bench_hotbucket() -> dict:
     return out
 
 
+def bench_compaction() -> dict:
+    """Size-tiered compaction proportionality (round-4 verdict #1's
+    acceptance): drive a url_seen-shaped table through many append/compact
+    cycles and record, per compaction, the bytes READ vs the table's total
+    bytes.  The claim under measurement: compaction I/O tracks the appended
+    bytes (roughly constant per cycle) while the table grows without bound —
+    the previous replace(read()) full rewrite would show bytes_read ==
+    table_bytes on every row.  Pure TableIO + deterministic data; stored
+    under ``compaction``; rendered as study S10."""
+    base = _scratch_base()
+    os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(base, "tmp"))
+    tempfile.tempdir = os.path.join(base, "tmp")
+    opening_probe = calibration_probe()
+    refusal = quiet_window_refusal(
+        opening_probe, force=os.environ.get("SPARK_GRAFT_SCALING_FORCE") == "1"
+    )
+    if refusal is not None:
+        return refusal
+    from pyspark.sql import functions as F
+
+    from spiderman_spark.tableio import Catalog
+
+    spark = make_session(8, "compaction")
+    spark.sparkContext.setLogLevel("ERROR")
+    wd = tempfile.mkdtemp(prefix="compaction-")
+    tb = Catalog(spark, wd).table("url_seen")
+    rows_per_round, rounds, compact_every = 200_000, 40, 8
+    # threshold sized so a packed part crosses into base after ~2 cycles:
+    # append parts are ~rows_per_round longs+strings; measure one first
+    cycles = []
+    threshold = None
+    for r in range(1, rounds + 1):
+        lo = r * rows_per_round
+        df = (
+            spark.range(lo, lo + rows_per_round)
+            .select(
+                F.md5(F.col("id").cast("string")).alias("fp"),
+                F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+                F.concat(F.lit("http://h.example.test/p/"), F.col("id")).alias("url"),
+            )
+            .coalesce(2)
+        )
+        tb.append(df)
+        if threshold is None:
+            threshold = tb.part_bytes(tb._manifest()["files"][-1]) * (
+                compact_every + 2
+            )
+        if r % compact_every == 0:
+            table_bytes = sum(tb.part_bytes(f) for f in tb._manifest()["files"])
+            t0 = time.perf_counter()
+            stats = tb.compact_small(threshold, ddl="fp string, url_hash long, url string")
+            cycles.append(
+                {
+                    "round": r,
+                    "table_bytes": table_bytes,
+                    "bytes_read": stats["bytes_read"],
+                    "parts_packed": stats["compacted"],
+                    "parts_kept": stats["kept"],
+                    "read_fraction": round(stats["bytes_read"] / table_bytes, 3),
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                }
+            )
+    spark.stop()
+    shutil.rmtree(wd, ignore_errors=True)
+    out = {
+        "rows_per_round": rows_per_round,
+        "rounds": rounds,
+        "compact_every": compact_every,
+        "threshold_bytes": threshold,
+        "cycles": cycles,
+        "calibration_probe_sec": opening_probe,
+    }
+    store = _load_store()
+    if "compaction" in store:
+        store["compaction_history"] = store.get("compaction_history", []) + [
+            store["compaction"]
+        ]
+    store["compaction"] = out
+    _save_store(store)
+    _write_baseline_md(store)
+    return out
+
+
 _STORE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_store.json")
 
 
@@ -1086,6 +1169,7 @@ image scaling_efficiency = {im['eff']}
         + _s7_section(store)
         + _s8_section(store)
         + _s9_section(store)
+        + _s10_section(store)
         + _STUDY_MD_TAIL
     )
     with open(os.path.join(os.path.dirname(_STORE_PATH), "BASELINE.md"), "w") as fh:
@@ -1236,6 +1320,37 @@ straggler task owning an m² clone clique and ceil(m/cap) bounded tasks.
 """
 
 
+def _s10_section(store: dict) -> str:
+    """Compaction proportionality (bench.py --compaction)."""
+    cp = store.get("compaction")
+    if not cp:
+        return ""
+    rows = "\n".join(
+        f"| {c['round']} | {c['table_bytes'] // 1024} | {c['bytes_read'] // 1024} | "
+        f"{c['read_fraction']:.0%} | {c['parts_packed']} | {c['wall_s']:.2f} |"
+        for c in cp["cycles"]
+    )
+    last = cp["cycles"][-1] if cp["cycles"] else {"read_fraction": 1.0}
+    return f"""
+### S10 — (round 5) url_seen compaction I/O tracks appends, not the table
+
+`bench.py --compaction`: a url_seen-shaped table driven through
+{cp['rounds']} append rounds × {cp['rows_per_round']} rows, size-tiered
+compaction every {cp['compact_every']} rounds (threshold
+{cp['threshold_bytes'] // 1024} KB), quiet-window-gated (probe
+{cp['calibration_probe_sec']:.2f} s).  The previous full-table
+replace(read()) would show bytes_read = table bytes (100%) on every row;
+with the size-tiered policy the read fraction FALLS as the table grows —
+by the last cycle compaction reads {last['read_fraction']:.0%} of the
+table, and at the north rule's 10^10-URL url_seen the fraction is the
+appends-to-corpus ratio (~0%).
+
+| after round | table KB | bytes read KB | read % of table | parts packed | wall s |
+|---|---|---|---|---|---|
+{rows}
+"""
+
+
 _STUDY_MD = """
 ## Measurement study (rounds 2-3, chronological)
 
@@ -1371,6 +1486,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--hotbucket" in sys.argv:
         print(json.dumps(bench_hotbucket(), default=str))
+        sys.exit(0)
+    if "--compaction" in sys.argv:
+        print(json.dumps(bench_compaction(), default=str))
         sys.exit(0)
     if "--scaling-exec" in sys.argv:
         print(json.dumps(bench_scaling(exec_only=True), default=str))
