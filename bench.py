@@ -579,20 +579,26 @@ def bench_scaling(full: bool = False, exec_only: bool = False) -> dict:
         # executor-process protocols have no pair structure to merge, so
         # replacement archives the prior run onto a history LIST — data is
         # never discarded (mirrors the crawl protocols' history keys)
-        for k in ("fleet", "image"):
-            if k in store:
-                store[f"{k}_history"] = store.get(f"{k}_history", []) + [store[k]]
-        store["fleet"] = {
+        _store_replace(store, "fleet", {
             "N": out["fleet"]["N"], "4N": out["fleet"]["4N"],
             "eff": out["fleet_scaling_efficiency"],
-        }
-        store["image"] = {
+        })
+        _store_replace(store, "image", {
             "N": out["image"]["N"], "4N": out["image"]["4N"],
             "eff": out["image_scaling_efficiency"],
-        }
+        })
     _save_store(store)
     _write_baseline_md(store)
     return out
+
+
+def _store_replace(store: dict, key: str, value) -> None:
+    """Replace a store entry, archiving any prior value onto the key's
+    history LIST — data is never discarded (the provenance idiom every
+    protocol/study shares)."""
+    if key in store:
+        store[f"{key}_history"] = store.get(f"{key}_history", []) + [store[key]]
+    store[key] = value
 
 
 def bench_roundcost() -> dict:
@@ -663,11 +669,7 @@ def bench_roundcost() -> dict:
         "calibration_probe_sec": opening_probe,
     }
     store = _load_store()
-    if "roundcost" in store:
-        store["roundcost_history"] = store.get("roundcost_history", []) + [
-            store["roundcost"]
-        ]
-    store["roundcost"] = out
+    _store_replace(store, "roundcost", out)
     _save_store(store)
     _write_baseline_md(store)
     return out
@@ -747,7 +749,9 @@ def bench_hotbucket() -> dict:
     ]
     spark.stop()
     counts = {r["pairs"] for r in runs}
-    assert len(counts) == 1, f"guard changed the pair set: {runs}"
+    if len(counts) != 1:
+        # fail loud even under python -O: this is the study's central claim
+        raise RuntimeError(f"guard changed the pair set: {runs}")
     off = next(r for r in runs if r["config"] == "off")["wall_s"]
     out = {
         "corpus": {"unique_docs": n_unique, "clone_docs": n_clones, "cap": cap},
@@ -762,11 +766,7 @@ def bench_hotbucket() -> dict:
         "calibration_probe_sec": opening_probe,
     }
     store = _load_store()
-    if "hotbucket" in store:
-        store["hotbucket_history"] = store.get("hotbucket_history", []) + [
-            store["hotbucket"]
-        ]
-    store["hotbucket"] = out
+    _store_replace(store, "hotbucket", out)
     _save_store(store)
     _write_baseline_md(store)
     return out
@@ -845,11 +845,7 @@ def bench_compaction() -> dict:
         "calibration_probe_sec": opening_probe,
     }
     store = _load_store()
-    if "compaction" in store:
-        store["compaction_history"] = store.get("compaction_history", []) + [
-            store["compaction"]
-        ]
-    store["compaction"] = out
+    _store_replace(store, "compaction", out)
     _save_store(store)
     _write_baseline_md(store)
     return out

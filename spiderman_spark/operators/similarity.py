@@ -100,6 +100,21 @@ def embedding_neardup_exact(
     )
 
 
+def _verify_broadcast_ok(
+    n_rows: int | None, dim: int, max_rows: int, max_bytes: int
+) -> bool:
+    """Bytes-aware broadcast gate for vector-carrying verify joins: a
+    row-count-only threshold is wrong when each row carries a dim-wide
+    embedding — 1M rows pass a 2M-row gate but weigh ~16 GB at dim=4096,
+    past Spark's 8 GB broadcast hard limit (and the driver's memory).
+    Estimate 8 B/coordinate (worst-case double) + 64 B row overhead."""
+    return (
+        n_rows is not None
+        and n_rows <= max_rows
+        and n_rows * (dim * 8 + 64) <= max_bytes
+    )
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     dim: int,
@@ -112,6 +127,7 @@ def embedding_neardup_lsh(
     oversize_policy: str = "salt",
     materialize: bool = True,
     broadcast_max_rows: int = 2_000_000,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane sign sketch →
     per-band bucket self-joins (min-band, exactly-once) → exact cosine verify
@@ -123,7 +139,11 @@ def embedding_neardup_lsh(
     bytes by ~bands× at production dims (768-4096 floats).  Vectors are
     joined back onto the (output-proportional) candidate stream for the
     cosine verify, broadcast-adaptively when the doc count fits under
-    ``broadcast_max_rows`` (the ``minhash_lsh_pairs`` shape).
+    ``broadcast_max_rows`` AND the estimated broadcast payload —
+    rows × (dim × 8 B + row overhead) — fits under ``broadcast_max_bytes``
+    (the ``minhash_lsh_pairs`` shape, but bytes-aware: unlike grams, the
+    vector width is KNOWN here, and a row-count-only gate would force an
+    8 GB+ broadcast at production dims, e.g. 1M × 4096 floats).
 
     ``materialize=True`` (default): the sketch frame is persisted — the
     2×bands band-join branches (and the hot-bucket counting pass) would
@@ -187,7 +207,7 @@ def embedding_neardup_lsh(
         cand = cand.persist()
     a = sk.select(F.col("did").alias("id_a"), F.col("vec").alias("va"))
     b = sk.select(F.col("did").alias("id_b"), F.col("vec").alias("vb"))
-    if n_rows is not None and n_rows <= broadcast_max_rows:
+    if _verify_broadcast_ok(n_rows, dim, broadcast_max_rows, broadcast_max_bytes):
         a, b = F.broadcast(a), F.broadcast(b)
     out = (
         cand.join(a, "id_a")

@@ -123,18 +123,22 @@ def lang_id(col) -> Column:
     zeros = F.array_repeat(F.lit(0), len(langs))
     powers = F.array(*[F.lit(1 << i) for i in range(len(langs))])
     # per token: ONE map lookup (bound via a single-element transform — the
-    # Column API has no let), then 14 bit tests folded into the count array
+    # Column API has no let), then 14 bit tests folded into the count array.
+    # Non-stopword tokens (the overwhelming majority of web text) short-
+    # circuit on the null lookup and return acc untouched — no array rebuild
     counts = F.aggregate(
         tokens(col),
         zeros,
         lambda acc, t: F.element_at(
             F.transform(
-                F.array(F.coalesce(F.element_at(mask_map, F.lower(t)), F.lit(0))),
-                lambda m: F.zip_with(
-                    acc,
-                    powers,
-                    lambda c, p: c
-                    + F.when(m.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+                F.array(F.element_at(mask_map, F.lower(t))),
+                lambda m: F.when(m.isNull(), acc).otherwise(
+                    F.zip_with(
+                        acc,
+                        powers,
+                        lambda c, p: c
+                        + F.when(m.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+                    )
                 ),
             ),
             1,

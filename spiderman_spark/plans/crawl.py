@@ -111,12 +111,14 @@ class CrawlConfig:
     # results are identical with or without it (asserted in tests).
     bloom: BloomConfig | None = None
     # compact the url_seen table (the only state table *read* every round)
-    # every N rounds so its file count stays O(1) instead of O(rounds)
+    # every N rounds so its file count stays bounded (O(1) in rounds AND in
+    # table size — compact_small's max_parts tier merge)
     compact_every: int = 8
     # size-tiered compaction threshold: only manifest entries SMALLER than
-    # this are bin-packed; parts that grow past it become base and are never
-    # re-read (TableIO.compact_small) — compaction I/O stays proportional to
-    # appended bytes, not to the url_seen corpus (O(TB) at 10^10 URLs)
+    # this are bin-packed; parts that grow past it become base and are only
+    # re-read by the occasional smallest-first tier merge
+    # (TableIO.compact_small) — compaction I/O stays proportional to
+    # appended bytes amortized, not to the url_seen corpus (O(TB) at 10^10)
     compact_threshold_bytes: int = 64 << 20
     # rows per written parquet file for per-round state appends; rounds are
     # budget-bounded so appends are small — without this every tiny append

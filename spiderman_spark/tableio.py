@@ -60,10 +60,17 @@ class ParquetManifestTable:
         with open(os.path.join(self.mdir, f"v{v}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], props: dict) -> int:
-        """Atomic snapshot commit via tmp-write + rename."""
+    def _commit(
+        self, files: list[str], props: dict, sizes: dict | None = None
+    ) -> int:
+        """Atomic snapshot commit via tmp-write + rename.  ``sizes`` (entry →
+        data bytes) rides the manifest so later compaction decisions read
+        the immutable parts' sizes from ONE json instead of os.walk-ing
+        every base part on every cycle (O(table files) driver stats)."""
         v = self.current_version() + 1
         body = {"version": v, "files": files, "props": props, "ts": time.time()}
+        if sizes is not None:
+            body["sizes"] = {f: sizes[f] for f in files if f in sizes}
         tmp = os.path.join(self.mdir, f"v{v}.json.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -128,53 +135,100 @@ class ParquetManifestTable:
 
             shutil.rmtree(os.path.join(self.root, part), ignore_errors=True)
             return self.current_version()
-        files = self._manifest()["files"] + [part]
-        return self._commit(files, props or {})
+        m = self._manifest()
+        sizes = dict(m.get("sizes") or {})
+        sizes[part] = self.part_bytes(part)
+        return self._commit(m["files"] + [part], props or {}, sizes=sizes)
+
+    def _entry_sizes(self, m: dict) -> dict:
+        """Entry → bytes for every manifest entry, read from the manifest's
+        recorded sizes (one json) — os.walk only for legacy entries written
+        before sizes were recorded, after which the next commit records
+        them.  Keeps compaction's driver cost O(1) in table size."""
+        sizes = dict(m.get("sizes") or {})
+        for f in m["files"]:
+            if f not in sizes:
+                sizes[f] = self.part_bytes(f)
+        return sizes
+
+    def _pack(self, entries: list[str], sizes: dict, threshold_bytes: int, ddl):
+        """Read ``entries`` and write them as one part sized to ~threshold
+        files; returns (new_entry, bytes_read)."""
+        reader = self.spark.read
+        if ddl is not None:
+            reader = reader.schema(ddl)
+        packed = reader.parquet(*[os.path.join(self.root, f) for f in entries])
+        bytes_read = sum(sizes[f] for f in entries)
+        packed = packed.coalesce(max(1, bytes_read // max(threshold_bytes, 1) + 1))
+        part = self._write_data(packed)
+        sizes[part] = self.part_bytes(part)
+        return part, bytes_read
 
     def compact_small(
         self,
         threshold_bytes: int,
         ddl: str | None = None,
         props: dict | None = None,
+        max_parts: int = 64,
     ) -> dict:
         """Size-tiered compaction: bin-pack only manifest entries SMALLER
         than ``threshold_bytes`` (the per-round appends) into one new part;
         every entry at/above the threshold carries over verbatim — its
         immutable files are never re-read or re-written.  Compaction I/O is
         therefore proportional to appended bytes, not table size: once a
-        packed part outgrows the threshold it becomes base and is never
+        packed part outgrows the threshold it becomes base and is rarely
         touched again, so each byte is rewritten O(threshold/append) times
         amortized — vs the previous replace(read()) full-table rewrite,
         O(corpus) recurring at the north rule's 10^10-URL url_seen scale.
+
+        ``max_parts`` bounds the TOTAL entry count (single-tier packing
+        alone grows base entries O(table/threshold) forever): when the
+        post-pack count exceeds it, the smallest entries merge into one —
+        smallest-first keeps the amortized rewrite count O(log(table/
+        threshold)) per byte, the standard LSM tiering trade — so the
+        reader's file list is O(1) in rounds AND in table size.
+
         Returns {"compacted", "kept", "bytes_read"}; commits nothing when
-        fewer than two entries qualify (nothing to pack)."""
+        there is nothing to pack or merge."""
         m = self._manifest()
         if any(self._bucket_of(f) is not None for f in m["files"]):
             raise ValueError(
                 f"compact_small: table {self.name!r} is bucketed — use "
                 "merge_buckets granularity instead"
             )
-        sizes = {f: self.part_bytes(f) for f in m["files"]}
+        sizes = self._entry_sizes(m)
         small = [f for f in m["files"] if sizes[f] < threshold_bytes]
-        if len(small) < 2:
+        entries = [f for f in m["files"] if f not in set(small)]
+        bytes_read, n_packed = 0, 0
+        if len(small) >= 2:
+            part, br = self._pack(small, sizes, threshold_bytes, ddl)
+            entries.append(part)
+            bytes_read += br
+            n_packed = len(small)
+        else:
+            entries = list(m["files"])  # 0-1 small parts: nothing to pack
+        if len(entries) > max_parts:
+            # tier merge: fold the smallest entries into one so the count
+            # returns to the bound (entries only grow by ~1 per cycle, so
+            # one merge per call suffices)
+            by_size = sorted(entries, key=lambda f: sizes[f])
+            victims = by_size[: len(entries) - max_parts + 1]
+            part, br = self._pack(victims, sizes, threshold_bytes, ddl)
+            entries = [f for f in entries if f not in set(victims)] + [part]
+            bytes_read += br
+            n_packed += len(victims)
+        if n_packed == 0:
             return {"compacted": 0, "kept": len(m["files"]), "bytes_read": 0}
-        reader = self.spark.read
-        if ddl is not None:
-            reader = reader.schema(ddl)
-        packed = reader.parquet(*[os.path.join(self.root, f) for f in small])
-        bytes_read = sum(sizes[f] for f in small)
-        # pack to ~threshold-sized files so the output crosses into base
-        # after O(threshold/append) cycles
-        packed = packed.coalesce(max(1, bytes_read // max(threshold_bytes, 1) + 1))
-        part = self._write_data(packed)
-        keep = [f for f in m["files"] if f not in set(small)]
-        self._commit(keep + [part], {**m["props"], **(props or {})})
-        return {"compacted": len(small), "kept": len(keep), "bytes_read": bytes_read}
+        self._commit(entries, {**m["props"], **(props or {})}, sizes=sizes)
+        kept = len(set(m["files"]) & set(entries))  # carried over untouched
+        return {"compacted": n_packed, "kept": kept, "bytes_read": bytes_read}
 
     def replace(self, df, props: dict | None = None) -> int:
         """Replace table contents (snapshot-isolated truncate+write)."""
         part = self._write_data(df)
-        return self._commit([part], props or {})
+        return self._commit(
+            [part], props or {}, sizes={part: self.part_bytes(part)}
+        )
 
     # -------------------------------------------------- bucketed snapshots
     #
@@ -251,7 +305,9 @@ class ParquetManifestTable:
         """Commit a new snapshot whose file list equals ``version``'s —
         orphaned appends from a crashed round become invisible (resume path)."""
         m = self._manifest(version)
-        return self._commit(m["files"], {"rolled_back_to": version})
+        return self._commit(
+            m["files"], {"rolled_back_to": version}, sizes=m.get("sizes")
+        )
 
 
 class Catalog:

@@ -150,3 +150,19 @@ def test_embedding_lsh_band_exchanges_are_narrow(spark):
     for b in band_exchanges:
         input_line = next(l for l in b.splitlines() if l.startswith("Input"))
         assert "va" not in input_line and "vb" not in input_line and "vec" not in input_line, b
+
+
+def test_embedding_verify_broadcast_gate_is_bytes_aware(spark):
+    """A row-count-only gate would force a multi-GB broadcast at production
+    embedding dims; the verify-join gate must also bound estimated bytes."""
+    from spiderman_spark.operators.similarity import _verify_broadcast_ok
+
+    mb256 = 256 << 20
+    assert _verify_broadcast_ok(10_000, 64, 2_000_000, mb256)
+    # 1M rows x 4096 dims: under the row cap, ~32 GB estimated -> refused
+    assert not _verify_broadcast_ok(1_000_000, 4096, 2_000_000, mb256)
+    # same rows at small dim: fine
+    assert _verify_broadcast_ok(400_000, 64, 2_000_000, mb256)
+    # over the row cap always refused; unknown count (lazy mode) refused
+    assert not _verify_broadcast_ok(3_000_000, 8, 2_000_000, mb256)
+    assert not _verify_broadcast_ok(None, 8, 2_000_000, mb256)

@@ -70,26 +70,39 @@ def test_compact_small_noop_below_two_parts(spark, tmp_path):
 
 def test_compact_small_amortizes_across_cycles(spark, tmp_path):
     """Once a packed part outgrows the threshold it becomes base: later
-    cycles never re-read it (the size-tiered invariant)."""
+    cycles never re-read it (the size-tiered invariant).  Appends are sized
+    (20k md5 rows each, incompressible) so the first cycle's packed part
+    DETERMINISTICALLY crosses the threshold — the base-untouched branch can
+    never be silently skipped."""
     cat = Catalog(spark, str(tmp_path))
     tb = cat.table("t")
     for i in range(6):
-        tb.append(spark.range(i * 5, i * 5 + 5).coalesce(1))
+        tb.append(
+            spark.range(i * 20_000, (i + 1) * 20_000)
+            .select(F.md5(F.col("id").cast("string")).alias("v"))
+            .coalesce(1)
+        )
     sizes = [tb.part_bytes(f) for f in tb._manifest()["files"]]
     threshold = max(sizes) + 1
-    tb.compact_small(threshold, ddl="id long")
+    tb.compact_small(threshold, ddl="v string")
     packed = tb._manifest()["files"][-1]
     packed_bytes = tb.part_bytes(packed)
-    if packed_bytes >= threshold:
-        # crossed into base: the next cycle must not touch it
-        tb.append(spark.range(100, 105).coalesce(1))
-        tb.append(spark.range(105, 110).coalesce(1))
-        stats = tb.compact_small(threshold, ddl="id long")
-        assert packed in tb._manifest()["files"]
-        assert stats["bytes_read"] < packed_bytes
-    assert sorted(r["id"] for r in tb.read(ddl="id long").collect()) == sorted(
-        [i for i in range(30)] + ([] if packed_bytes < threshold else list(range(100, 110)))
+    assert packed_bytes >= threshold, (packed_bytes, threshold)  # the premise, forced
+    # crossed into base: the next cycle must not touch it
+    tb.append(
+        spark.range(200_000, 220_000)
+        .select(F.md5(F.col("id").cast("string")).alias("v"))
+        .coalesce(1)
     )
+    tb.append(
+        spark.range(220_000, 240_000)
+        .select(F.md5(F.col("id").cast("string")).alias("v"))
+        .coalesce(1)
+    )
+    stats = tb.compact_small(threshold, ddl="v string")
+    assert packed in tb._manifest()["files"]
+    assert stats["compacted"] == 2 and stats["bytes_read"] < packed_bytes
+    assert tb.read(ddl="v string").count() == 160_000
 
 
 def test_compact_small_refuses_bucketed(spark, tmp_path):
@@ -142,3 +155,41 @@ def test_crawl_url_seen_file_count_stays_flat(spark, tmp_path):
         counts.append(len(eng.catalog.table("url_seen")._manifest()["files"]))
     # compaction every 2 rounds keeps the list bounded by the cycle length
     assert max(counts) <= 3, counts
+
+
+def test_compact_small_tier_merge_bounds_entry_count(spark, tmp_path):
+    """Single-tier packing alone grows base entries without bound; the
+    max_parts tier merge folds the smallest entries so the manifest stays
+    O(1) in table size — rows always preserved."""
+    cat = Catalog(spark, str(tmp_path))
+    tb = cat.table("t")
+    for i in range(8):
+        tb.append(spark.range(i * 100, (i + 1) * 100).coalesce(1))
+    # tiny threshold: nothing qualifies as "small", but 8 entries > max 4
+    stats = tb.compact_small(1, ddl="id long", max_parts=4)
+    assert len(tb._manifest()["files"]) == 4
+    assert stats["compacted"] == 5 and stats["kept"] == 3  # 5 smallest merged
+    assert sorted(r["id"] for r in tb.read(ddl="id long").collect()) == list(range(800))
+    # idempotent at the bound: nothing further to do
+    assert tb.compact_small(1, ddl="id long", max_parts=4)["compacted"] == 0
+
+
+def test_manifest_records_part_sizes(spark, tmp_path):
+    """Appends/replaces/compactions record entry sizes in the manifest so
+    compaction decisions never os.walk base parts (O(1) driver stats)."""
+    cat = Catalog(spark, str(tmp_path))
+    tb = cat.table("t")
+    tb.append(spark.range(100).coalesce(1))
+    tb.append(spark.range(100, 200).coalesce(1))
+    m = tb._manifest()
+    assert set(m["sizes"]) == set(m["files"])
+    for f in m["files"]:
+        assert m["sizes"][f] == tb.part_bytes(f)
+    tb.compact_small(1 << 30, ddl="id long")
+    m = tb._manifest()
+    assert set(m["sizes"]) == set(m["files"])
+    v = tb.current_version()
+    tb.append(spark.range(200, 300).coalesce(1))
+    tb.rollback_to(v)
+    m = tb._manifest()
+    assert set(m["sizes"]) == set(m["files"])  # sizes survive rollback
