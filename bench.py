@@ -198,6 +198,19 @@ def headline_window_stamp(probes: list) -> dict:
     }
 
 
+def stamp_drift(stamp: dict, closing_probe_sec: float) -> dict:
+    """Demote a 'quiet' stamp to 'drifted' when the CLOSING probe shows the
+    window degraded while the bench ran — the opening gate cannot see this
+    (the round-4 flap-guard lesson, applied to the headline artifact)."""
+    out = dict(stamp)
+    if (
+        out.get("window_verdict") == "quiet"
+        and closing_probe_sec > QUIET_PROBE_MAX_SEC
+    ):
+        out["window_verdict"] = "drifted"
+    return out
+
+
 def await_quiet_window(
     max_attempts: int | None = None,
     sleep_sec: float = 90.0,
@@ -270,8 +283,9 @@ def bench_queries() -> dict:
     # measured ~14x throughput drift between identical runs (BASELINE.md S4),
     # so a fixed CPU-bound probe is recorded next to every headline number —
     # opening stamp (the gate) + closing probe (drift across the run)
-    result.update(headline_window_stamp(window_probes))
-    result["calibration_probe_sec"] = calibration_probe()
+    closing = calibration_probe()
+    result.update(stamp_drift(headline_window_stamp(window_probes), closing))
+    result["calibration_probe_sec"] = closing
     return result
 
 

@@ -83,6 +83,14 @@ def test_headline_window_stamp_and_wait():
     assert probes == [9.0, 9.0, 9.0]
     assert bench.headline_window_stamp(probes)["window_verdict"] == "degraded"
 
+    # mid-run drift demotion: quiet opening + degraded closing -> 'drifted';
+    # quiet closing keeps 'quiet'; 'degraded' is never upgraded
+    quiet = bench.headline_window_stamp([2.4])
+    assert bench.stamp_drift(quiet, 3.4)["window_verdict"] == "drifted"
+    assert bench.stamp_drift(quiet, 2.6)["window_verdict"] == "quiet"
+    bad = bench.headline_window_stamp([9.0])
+    assert bench.stamp_drift(bad, 2.0)["window_verdict"] == "degraded"
+
 
 def test_bench_scaling_refuses_in_noisy_window(tmp_path, monkeypatch):
     """End-to-end refusal path: a high probe makes bench_scaling return the
