@@ -132,7 +132,7 @@ def minhash_signatures(
 LONG_MAX = (1 << 63) - 1
 
 
-def _sig_expr(k: int, hash_family: str = "md5"):
+def _sig_expr(k: int, hash_family: str = "md5", prehashed: bool = False):
     if hash_family == "xxhash64":
         # SINGLE pass over the gram array (higher-order functions are
         # interpreted, not codegen'd — the k-transforms shape below walks
@@ -141,19 +141,27 @@ def _sig_expr(k: int, hash_family: str = "md5"):
         # Column API has no let), then k cheap 8-byte rehashes; per-
         # permutation minima fold through zip_with(least).  Identical
         # values to minhash_value(g, i, 'xxhash64') — fixture-oracled.
+        # ``prehashed``: grams is already array<long> of xxhash64(gram)
+        # (the minhash_lsh_pairs fast path hashes shingles once in the
+        # shingle pass) — the fold rehashes each 8-byte value directly, no
+        # let-binding needed; values identical to the string path.
+        def per_gram_hash(h):
+            return F.array(*[F.xxhash64(h, F.lit(i)) for i in range(k)])
+
         def per_gram(g):
             return F.element_at(
-                F.transform(
-                    F.array(F.xxhash64(g)),
-                    lambda h: F.array(*[F.xxhash64(h, F.lit(i)) for i in range(k)]),
-                ),
+                F.transform(F.array(F.xxhash64(g)), per_gram_hash),
                 1,
             )
 
         return F.aggregate(
             "grams",
             F.array_repeat(F.lit(LONG_MAX).cast("long"), k),
-            lambda acc, g: F.zip_with(acc, per_gram(g), lambda a, b: F.least(a, b)),
+            lambda acc, g: F.zip_with(
+                acc,
+                per_gram_hash(g) if prehashed else per_gram(g),
+                lambda a, b: F.least(a, b),
+            ),
         )
 
     # md5 family (directly SQL-oracle-able; hex-string minima).
@@ -373,7 +381,16 @@ def minhash_lsh_pairs(
     tokenize+shingle expression tree, evaluated three times, dominating q18).
 
     ``hash_family``: 'xxhash64' (production/bench, fixture-oracled) or 'md5'
-    (directly SQL-oracled) — see ``minhash_value``.
+    (directly SQL-oracled) — see ``minhash_value``.  The xxhash64 path hashes
+    each shingle to int64 ONCE in the shingle pass and runs everything
+    downstream — signatures, the verify's set intersection, the broadcast
+    grams frames — on the hashed values: per-element equality in the verify
+    is an 8-byte compare instead of a string compare, and the broadcast
+    payload shrinks from the gram text to 8 bytes/gram.  Jaccard over hashed
+    shingle SETS equals Jaccard over the string sets unless two distinct
+    grams collide in 64 bits (P < n_grams²/2⁶⁵ ≈ 1e-10 at 1e4 distinct
+    grams/doc — the q34 DuckDB oracle computes the string-side Jaccard
+    independently, so a collision would fail the gate loudly, not silently).
 
     ``broadcast_grams``: verify-join strategy for the per-doc grams sides.
     The candidate-pair stream can dwarf the doc dimension (near-dup cliques
@@ -395,9 +412,13 @@ def minhash_lsh_pairs(
     The guard's counting pass is an action, so it is disabled in
     plan-inspection mode (``materialize=False``)."""
     rows_per_band = k // bands
-    sh = df.select(
-        F.col(id_col).alias("did"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).where(F.size("grams") > 0)
+    prehashed = hash_family == "xxhash64"
+    gram_expr = word_ngrams(F.col(text_col), n)
+    if prehashed:
+        gram_expr = F.transform(gram_expr, lambda g: F.xxhash64(g))
+    sh = df.select(F.col(id_col).alias("did"), gram_expr.alias("grams")).where(
+        F.size("grams") > 0
+    )
     if materialize:
         # Rebalance BEFORE caching: with min-band candidates there is no
         # shuffle anywhere downstream (the old cross-band distinct was one),
@@ -409,7 +430,7 @@ def minhash_lsh_pairs(
         # shuffle moves only the doc-sized shingle frame, never pairs).
         sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "did")
         sh = sh.persist()
-    sigs = sh.select("did", _sig_expr(k, hash_family).alias("sig"))
+    sigs = sh.select("did", _sig_expr(k, hash_family, prehashed=prehashed).alias("sig"))
     # One row per doc carrying every band bucket.  Persisted when allowed:
     # the per-band joins below each read it, and recomputing would redo the
     # k-permutation signature hashing once per band.

@@ -121,6 +121,24 @@ def test_simhash_properties_both_families(spark):
     assert bin((xx["d1"] ^ xx["d4"]) & ((1 << 64) - 1)).count("1") > 16
 
 
+def test_sig_expr_prehashed_matches_string_path(spark):
+    """The fast-path shingle pass hashes grams to int64 once and feeds
+    pre-hashed values into the signature fold; the signatures must be
+    bit-identical to folding the gram strings directly (both are
+    xxhash64(xxhash64(gram), i) — the fixture oracle depends on it)."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(40)
+    sh = docs.select(
+        F.col("doc_id").alias("did"), dedup.word_ngrams(F.col("text"), 1).alias("grams")
+    ).where(F.size("grams") > 0)
+    via_strings = sh.select("did", dedup._sig_expr(16, "xxhash64").alias("sig"))
+    via_hashes = sh.withColumn(
+        "grams", F.transform("grams", lambda g: F.xxhash64(g))
+    ).select("did", dedup._sig_expr(16, "xxhash64", prehashed=True).alias("sig"))
+    a = {r["did"]: r["sig"] for r in via_strings.collect()}
+    b = {r["did"]: r["sig"] for r in via_hashes.collect()}
+    assert a and a == b
+
+
 def test_winnow_fingerprints_theorem_and_reference(spark):
     """Winnowing (q36 family): any shared substring of length >= k+w-1 must
     yield a shared fingerprint (the winnowing guarantee); disjoint texts
