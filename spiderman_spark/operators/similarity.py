@@ -41,6 +41,30 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pre(a, b, na, nb):
+    """Cosine from per-ROW precomputed norms: the higher-order-function
+    norm folds are interpreted (not codegen'd), so evaluating them inside a
+    per-PAIR projection costs two extra dim-wide passes per pair — O(pairs ×
+    dim) where O(rows × dim) suffices.  Same expression shape as ``cosine``
+    (dot / (na * nb)) over the same per-side norm folds, so the double is
+    bit-identical — the rounded sim_x10k oracles stay exact."""
+    return _dot(a, b) / (na * nb)
+
+
+def _pynorm(vec) -> float:
+    """Driver-side L2 norm of a literal vector, IEEE-identical to ``_norm``
+    over the same literals: left-to-right (0.0 + x₀²) + x₁² … then sqrt —
+    the same fold order and double ops Spark's aggregate evaluates — so a
+    centroid/hyperplane norm can be inlined as ONE literal instead of an
+    interpreted dim-wide fold re-evaluated per row per centroid."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,14 +79,25 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # norms land in the per-SIDE projections below the join (the join
+    # boundary keeps Catalyst from collapsing them into the per-pair
+    # projection): one norm fold per row, not one per scored pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long").alias("sim_x10k"),
+        F.round(_cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) * 10000)
+        .cast("long")
+        .alias("sim_x10k"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_x10k").desc(), F.col("neighbor_id")
@@ -87,14 +122,26 @@ def embedding_neardup_exact(
     use ``embedding_neardup_lsh``.  Threshold compares the *rounded* integer
     similarity so engines agree at the boundary.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")) * 10000).cast("long").alias("sim_x10k"),
+            F.round(
+                _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) * 10000
+            )
+            .cast("long")
+            .alias("sim_x10k"),
         )
         .where(F.col("sim_x10k") >= int(round(threshold * 10000)))
     )
@@ -167,6 +214,7 @@ def embedding_neardup_lsh(
     sk = df.select(
         F.col(id_col).alias("did"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("_nv"),
         sign_sketch(F.col(vec_col), dim, planes).alias("_sk"),
     )
     n_rows = None
@@ -205,8 +253,14 @@ def embedding_neardup_lsh(
         # the min-band filters — the exact shuffle-bytes blow-up this
         # narrowing removes
         cand = cand.persist()
-    a = sk.select(F.col("did").alias("id_a"), F.col("vec").alias("va"))
-    b = sk.select(F.col("did").alias("id_b"), F.col("vec").alias("vb"))
+    # row norms ride the (persisted) sketch frame — computed once per row at
+    # sketch time, not re-folded per candidate pair in the verify projection
+    a = sk.select(
+        F.col("did").alias("id_a"), F.col("vec").alias("va"), F.col("_nv").alias("na")
+    )
+    b = sk.select(
+        F.col("did").alias("id_b"), F.col("vec").alias("vb"), F.col("_nv").alias("nb")
+    )
     if _verify_broadcast_ok(n_rows, dim, broadcast_max_rows, broadcast_max_bytes):
         a, b = F.broadcast(a), F.broadcast(b)
     out = (
@@ -215,7 +269,11 @@ def embedding_neardup_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")) * 10000).cast("long").alias("sim_x10k"),
+            F.round(
+                _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) * 10000
+            )
+            .cast("long")
+            .alias("sim_x10k"),
         )
         .where(F.col("sim_x10k") >= int(round(threshold * 10000)))
     )
@@ -273,25 +331,42 @@ def _nearest_centroids(df, ident: str, vec: str, centroids, n: int):
     construction (k lists × dim floats), inlined as literals so the corpus
     scan needs no join — and the per-row ranking is an ``array_sort`` over
     (neg-sim, cid) structs, NOT a window, so assignment is a fully narrow
-    codegen'd projection: zero shuffle of the corpus."""
-    structs = F.array(
-        *[
-            F.struct(
-                (
-                    -F.round(
-                        cosine(F.col(vec), F.array(*[F.lit(v) for v in cvec]))
-                        * 10000
-                    ).cast("long")
-                ).alias("negsim"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    top = F.slice(F.array_sort(structs), 1, n)
-    return df.select(ident, vec, F.explode(top).alias("cs")).select(
-        ident, vec, F.col("cs.cid").alias("cid")
-    )
+    codegen'd projection: zero shuffle of the corpus.
+
+    The row's norm is let-bound ONCE per row (the single-element-transform
+    trick — projection collapse would otherwise inline the interpreted norm
+    fold into every one of the k centroid scores), and each centroid's norm
+    is a driver-computed literal (``_pynorm`` — IEEE-identical to the Spark
+    fold), so scoring k centroids costs k dots + 1 row-norm fold instead of
+    k dots + 2k dim-wide folds.  The output carries the row norm as ``_vn``
+    so downstream per-pair re-ranks reuse it."""
+
+    def ranked(nv):
+        structs = F.array(
+            *[
+                F.struct(
+                    (
+                        -F.round(
+                            _cosine_pre(
+                                F.col(vec),
+                                F.array(*[F.lit(v) for v in cvec]),
+                                nv,
+                                F.lit(_pynorm(cvec)),
+                            )
+                            * 10000
+                        ).cast("long")
+                    ).alias("negsim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        return F.slice(F.array_sort(structs), 1, n)
+
+    top = F.element_at(F.transform(F.array(_norm(F.col(vec))), ranked), 1)
+    return df.select(
+        ident, vec, _norm(F.col(vec)).alias("_vn"), F.explode(top).alias("cs")
+    ).select(ident, vec, "_vn", F.col("cs.cid").alias("cid"))
 
 
 def ivf_topk(
@@ -319,14 +394,14 @@ def ivf_topk(
         "cv",
         centroids,
         1,
-    )
+    ).withColumnRenamed("_vn", "cn")
     q = _nearest_centroids(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "query_id",
         "qv",
         centroids,
         nprobe,
-    )
+    ).withColumnRenamed("_vn", "qn")
     # No distinct: corpus rows are assigned to exactly ONE list (n=1 above)
     # and a query probes ``nprobe`` DISTINCT cids, so a (query_id,
     # neighbor_id) pair can arise at most once by construction — a distinct
@@ -335,12 +410,14 @@ def ivf_topk(
     cand = (
         c.join(F.broadcast(q), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long").alias("sim_x10k"),
+        F.round(_cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) * 10000)
+        .cast("long")
+        .alias("sim_x10k"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_x10k").desc(), F.col("neighbor_id"))
     return (
@@ -423,14 +500,19 @@ def lsh_topk(
     # never shuffled (broadcast query side in every per-band join).
     from .dedup import minband_pair_union
 
+    # per-row norms ride the sketch frames (corpus side persisted), so the
+    # per-candidate re-rank below folds only the dot — not two more
+    # interpreted dim-wide norm passes per pair
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
         sign_sketch(F.col(vec_col), dim, planes).alias("skq"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         sign_sketch(F.col(vec_col), dim, planes).alias("skc"),
     )
     if materialize:
@@ -445,11 +527,13 @@ def lsh_topk(
         max_bucket_rows=max_bucket_rows if materialize else None,
         oversize_policy=oversize_policy,
         salt_col_a="neighbor_id",
-    ).select("query_id", "qv", "neighbor_id", "cv")
+    ).select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")) * 10000).cast("long").alias("sim_x10k"),
+        F.round(_cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) * 10000)
+        .cast("long")
+        .alias("sim_x10k"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_x10k").desc(), F.col("neighbor_id"))
     out = (
