@@ -65,6 +65,10 @@ def make_session(cores: int, app: str):
         # read batch means ~400MB of WritableColumnVector per task on 100KB
         # binaries -> allocation/GC collapse. 128 rows ~ 13MB per task.
         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        # skip the per-DataFrame-op Python stack walk + 2 py4j origin calls
+        # (error-message call-site enrichment): pure driver overhead in the
+        # crawl loop's per-round plan assembly, worth ~0.5-1 s per crawl
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .getOrCreate()
     )

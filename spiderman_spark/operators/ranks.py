@@ -101,11 +101,15 @@ def with_hist_rank(
     w = Window.partitionBy(np_col, "_bk").orderBy(seq_col)
     part = df.withColumn("_bk", F.shiftright(F.col(seq_col), shift))
     if len(offsets_rows) <= 1024:
-        kv = []
-        for a, b, o in offsets_rows:
-            kv += [F.lit(f"{int(a)}:{int(b)}"), F.lit(int(o))]
+        # ONE py4j round trip for the whole literal map (an F.expr string the
+        # JVM parses), not one per element: both create_map(*lits) and even
+        # F.lit([list]) issue per-element lit() calls, and at n≈300-1000
+        # groups that was ~0.4 s of pure driver time per crawl round — the
+        # dominant plan-assembly cost in the per-round fixed budget
+        keys = ",".join(f"'{int(a)}:{int(b)}'" for a, b, _ in offsets_rows)
+        vals = ",".join(f"{int(o)}L" for _, _, o in offsets_rows)
         off = F.element_at(
-            F.create_map(*kv),
+            F.expr(f"map_from_arrays(array({keys}), array({vals}))"),
             F.concat_ws(
                 ":", F.col(np_col).cast("string"), F.col("_bk").cast("string")
             ),
@@ -138,7 +142,8 @@ def with_rank(
     base: int = 0,
 ) -> DataFrame:
     """rank = base + offsets[_pid] + row_number() within _pid (1-based)."""
-    arr = F.array(*[F.lit(int(o)) for o in (offsets or [0])])
+    # one parsed array literal, not one lit() round trip per partition
+    arr = F.expr("array(" + ",".join(f"{int(o)}L" for o in (offsets or [0])) + ")")
     off = F.element_at(arr, (F.col("_pid") + 1).cast("int")).cast("long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return part.withColumn(
