@@ -51,6 +51,19 @@ def _cosine_pre(a, b, na, nb):
     return _dot(a, b) / (na * nb)
 
 
+def _lit_dvec(vals) -> "F.Column":
+    """Literal array<double> in ONE parsed expression — ``F.array(*[F.lit(v)
+    ...])`` issues one py4j round trip per element, and the hyperplane/
+    centroid inlining sites evaluate planes×dim (resp. k×dim) of them per
+    plan build: ~1000 driver round trips ≈ 0.3-0.5 s of pure plan-assembly
+    time per sketch site (the same hotspot ``with_hist_rank`` fixed for the
+    crawl loop).  ``repr(float)`` is the shortest round-trip decimal, and
+    both CPython and the JVM parse it correctly-rounded, so each parsed
+    ``...D`` literal is bit-identical to the ``F.lit`` double it replaces
+    (pinned by test_lit_dvec_matches_lit_elementwise)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def _pynorm(vec) -> float:
     """Driver-side L2 norm of a literal vector, IEEE-identical to ``_norm``
     over the same literals: left-to-right (0.0 + x₀²) + x₁² … then sqrt —
@@ -308,7 +321,7 @@ def sign_sketch(vec_col, dim: int, planes: int = 16):
     """Array of ``planes`` sign bits packed into one long."""
     acc = F.lit(0).cast("long")
     for p in range(planes):
-        proj = F.array(*[F.lit(v) for v in _projection_vec(dim, p)])
+        proj = _lit_dvec(_projection_vec(dim, p))
         s = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, proj)
         acc = acc.bitwiseOR(
             F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
@@ -349,7 +362,7 @@ def _nearest_centroids(df, ident: str, vec: str, centroids, n: int):
                         -F.round(
                             _cosine_pre(
                                 F.col(vec),
-                                F.array(*[F.lit(v) for v in cvec]),
+                                _lit_dvec(cvec),
                                 nv,
                                 F.lit(_pynorm(cvec)),
                             )

@@ -229,3 +229,31 @@ def test_phash_neardup_pairs_lossless(spark, images):
     assert got == want
     src = copy.collect()[0]["image_id"]
     assert any(a == src or b == src for a, b, _ in got)  # hamming-0 planted pair
+
+
+def test_lit_dvec_matches_lit_elementwise(spark):
+    """_lit_dvec inlines a double vector as ONE parsed expr string; every
+    element must be bit-identical to the F.lit double it replaces (repr is
+    the shortest round-trip decimal and both parsers are correctly-rounded).
+    Covers the real hyperplane/centroid vectors plus adversarial values:
+    exact integers, signed zero, denormal-ish magnitudes that repr in
+    scientific notation."""
+    vecs = [simi._projection_vec(64, p) for p in range(4)]
+    vecs += [cv for _, cv in simi.anchor_centroids(64, 4)]
+    vecs.append([-1.0, 0.0, 1.0, 4.656612873077393e-10, -2.5e-300, 1e16])
+    for v in vecs:
+        row = (
+            spark.range(1)
+            .select(
+                F.array(*[F.lit(float(x)) for x in v]).alias("a"),
+                simi._lit_dvec(v).alias("b"),
+            )
+            .collect()[0]
+        )
+        assert row["a"] == row["b"]
+        # bit-identity, not just ==: signed zero / NaN-free exactness
+        import struct
+
+        pa = [struct.pack("<d", x) for x in row["a"]]
+        pb = [struct.pack("<d", x) for x in row["b"]]
+        assert pa == pb
