@@ -33,7 +33,13 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("spiderman-spark-download").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("spiderman-spark-download")
+        # call-site capture is error-enrichment only; in the crawl loop it
+        # is ~0.4 s/round of driver time (same toggle as bench/fleet workers)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .getOrCreate()
+    )
     from spiderman_spark import corpusgen as cg
     from spiderman_spark.plans.crawl import CrawlEngine
     from spiderman_spark.plans.download import DownloadConfig, ImageDownloader

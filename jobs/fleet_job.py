@@ -35,7 +35,13 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("spiderman-spark-fleet").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("spiderman-spark-fleet")
+        # call-site capture is error-enrichment only; in the crawl loop it
+        # is ~0.4 s/round of driver time (same toggle as bench/fleet workers)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .getOrCreate()
+    )
     from spiderman_spark import corpusgen as cg
     from spiderman_spark import simulator as sim
     from spiderman_spark.plans import fleet

@@ -138,6 +138,10 @@ def run_worker(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # per-op Python call-site capture (error-message enrichment only) is
+        # pure worker-driver overhead in the per-round plan assembly — same
+        # toggle the bench session carries, ~0.4 s/round at crawl shapes
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
