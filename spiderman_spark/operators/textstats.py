@@ -100,10 +100,15 @@ def _stopword_mask_map():
     for i, lang in enumerate(langs):
         for w in LANG_STOPWORDS[lang]:
             mask[w] = mask.get(w, 0) | (1 << i)
-    kv = []
-    for w, m in mask.items():
-        kv.extend([F.lit(w), F.lit(m)])
-    return F.create_map(*kv), langs
+    # ONE parsed expression for the whole literal map, not 2 py4j lit()
+    # round trips per stopword (~320 at 159 distinct words) — the same
+    # plan-assembly hotspot with_hist_rank / _lit_dvec removed.  Values are
+    # identical: a parsed '...' string IS the same UTF8String literal, and
+    # the masks are int literals either way.  Quotes are escaped
+    # defensively; the lists are plain words today.
+    ks = ",".join("'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in mask)
+    vs = ",".join(str(m) for m in mask.values())
+    return F.expr(f"map_from_arrays(array({ks}), array({vs}))"), langs
 
 
 def lang_id(col) -> Column:
