@@ -1221,8 +1221,30 @@ def _s7_section(store: dict) -> str:
         c = (r_xl * w_xxl - r_xxl * w_xl) / det
         rows.append((cores, b, c * 1e6, c * 1e6 * cores, w_xl, w_xxl))
         if cores == 8:
-            note = f"{min(secs_xxl):.0f}–{max(secs_xxl):.0f} s"
+            # uncertainty sentence only when the legs actually disagree
+            # (>3% of their median) — a re-record in a tight window must not
+            # render a degenerate "straddle 117–117 s" caveat
+            lo_s, hi_s = min(secs_xxl), max(secs_xxl)
+            if hi_s - lo_s > 0.03 * statistics.median(secs_xxl):
+                note = (
+                    f"  (Uncertainty note: the XXL 8-core legs straddle "
+                    f"{lo_s:.0f}–{hi_s:.0f} s, so the 8-core row carries that "
+                    f"spread; the sub-linear-c conclusion survives either leg "
+                    f"alone.)"
+                )
+            else:
+                note = (
+                    f"  (The XXL 8-core legs agree within "
+                    f"{100 * (hi_s - lo_s) / statistics.median(secs_xxl):.1f}% "
+                    f"— {lo_s:.1f} / {hi_s:.1f} s.)"
+                )
     (c8, c32) = (rows[0][2], rows[1][2])
+    # the cross-check value is the CURRENT 2⇄8 Amdahl fit's per-round B,
+    # recomputed from the store — never a hard-coded historical number
+    sat = store.get("crawl_2to8")
+    fit_b_txt = (
+        f"~{_amdahl_fit(sat)[2]:.1f} s/round" if sat else "the saturation fit"
+    )
     table = "\n".join(
         f"| local[{cores}] | ~{b:.1f} | ~{cus:.1f} | ~{cuc:.0f} |"
         for cores, b, cus, cuc, _, _ in rows
@@ -1245,13 +1267,11 @@ file):
 {table}
 
 Two independent confirmations: (1) both b values sit near the 2⇄8 Amdahl
-fit's ~6.5 s/round; (2) c improves only {c8 / c32:.1f}× for 4× threads
+fit's {fit_b_txt}; (2) c improves only {c8 / c32:.1f}× for 4× threads
 ({c8:.1f} → {c32:.1f} µs/page) — far short of the ~4× a thread-scaling
 engine-side term would show, and right at the one-JVM Python/Arrow ceiling
 S2 measures in isolation (~2× for 4× threads; S3 shows wide rows invert
-outright).  (Uncertainty note: the XXL 8-core legs straddle {note}, so the
-8-core row carries that spread; the sub-linear-c conclusion survives either
-leg alone.)  Together these pin the sandbox ceiling: per-round fixed cost
+outright).{note}  Together these pin the sandbox ceiling: per-round fixed cost
 amortizes with round size exactly as predicted, but the per-page term stops
 scaling anywhere near 4× past 8 threads in one JVM, and S4 shows
 co-resident JVMs on this VM degrade instead of scaling.  On hardware where

@@ -57,11 +57,11 @@ def _lit_dvec(vals) -> "F.Column":
     centroid inlining sites evaluate planes×dim (resp. k×dim) of them per
     plan build: ~1000 driver round trips ≈ 0.3-0.5 s of pure plan-assembly
     time per sketch site (the same hotspot ``with_hist_rank`` fixed for the
-    crawl loop).  ``repr(float)`` is the shortest round-trip decimal, and
-    both CPython and the JVM parse it correctly-rounded, so each parsed
-    ``...D`` literal is bit-identical to the ``F.lit`` double it replaces
-    (pinned by test_lit_dvec_matches_lit_elementwise)."""
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+    crawl loop).  Bit-identical to the ``F.lit`` form, non-finite values
+    included — see ``functions.sqllit`` (the shared injection helpers)."""
+    from ..functions.sqllit import lit_double_array
+
+    return lit_double_array(vals)
 
 
 def _pynorm(vec) -> float:

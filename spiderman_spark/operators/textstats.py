@@ -104,11 +104,10 @@ def _stopword_mask_map():
     # round trips per stopword (~320 at 159 distinct words) — the same
     # plan-assembly hotspot with_hist_rank / _lit_dvec removed.  Values are
     # identical: a parsed '...' string IS the same UTF8String literal, and
-    # the masks are int literals either way.  Quotes are escaped
-    # defensively; the lists are plain words today.
-    ks = ",".join("'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'" for w in mask)
-    vs = ",".join(str(m) for m in mask.values())
-    return F.expr(f"map_from_arrays(array({ks}), array({vs}))"), langs
+    # the masks are int literals either way (see functions.sqllit).
+    from ..functions.sqllit import lit_str_map
+
+    return lit_str_map(mask), langs
 
 
 def lang_id(col) -> Column:

@@ -62,13 +62,10 @@ def shard_of_expr(host_col, workers: int, host_map: dict | None = None):
     # costs 2 py4j round trips per host, and _split_foreign rebuilds this
     # per ROUND per worker — at 1024 mapped hosts that was ~2k driver calls
     # (~0.5 s) of per-round fixed cost in every sharded fleet worker
-    ks = ",".join(
-        "'" + str(h).replace("\\", "\\\\").replace("'", "\\'") + "'" for h in host_map
-    )
-    vs = ",".join(str(int(v)) for v in host_map.values())
-    return F.coalesce(
-        F.expr(f"map_from_arrays(array({ks}), array({vs}))")[host_col], base
-    )
+    from ..functions.sqllit import lit_str_map
+
+    m = {str(h): int(v) for h, v in host_map.items()}
+    return F.coalesce(lit_str_map(m)[host_col], base)
 
 
 def plan_host_assignment(host_counts, workers: int) -> dict:

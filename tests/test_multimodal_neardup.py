@@ -236,11 +236,13 @@ def test_lit_dvec_matches_lit_elementwise(spark):
     element must be bit-identical to the F.lit double it replaces (repr is
     the shortest round-trip decimal and both parsers are correctly-rounded).
     Covers the real hyperplane/centroid vectors plus adversarial values:
-    exact integers, signed zero, denormal-ish magnitudes that repr in
-    scientific notation."""
+    exact integers, BOTH signed zeros, denormal-ish magnitudes that repr in
+    scientific notation, and the non-finite values that must render as
+    CAST literals (``nanD`` would resolve as a column name)."""
     vecs = [simi._projection_vec(64, p) for p in range(4)]
     vecs += [cv for _, cv in simi.anchor_centroids(64, 4)]
-    vecs.append([-1.0, 0.0, 1.0, 4.656612873077393e-10, -2.5e-300, 1e16])
+    vecs.append([-1.0, 0.0, -0.0, 1.0, 4.656612873077393e-10, -2.5e-300, 1e16])
+    vecs.append([float("nan"), float("inf"), float("-inf"), 0.5])
     for v in vecs:
         row = (
             spark.range(1)
@@ -250,10 +252,11 @@ def test_lit_dvec_matches_lit_elementwise(spark):
             )
             .collect()[0]
         )
-        assert row["a"] == row["b"]
-        # bit-identity, not just ==: signed zero / NaN-free exactness
+        # bit-identity, not ==: distinguishes -0.0 from 0.0 and holds for
+        # NaN (where == is False even against itself)
         import struct
 
         pa = [struct.pack("<d", x) for x in row["a"]]
         pb = [struct.pack("<d", x) for x in row["b"]]
         assert pa == pb
+        assert any(struct.unpack("<d", p)[0] != 0.0 for p in pa)  # non-trivial
