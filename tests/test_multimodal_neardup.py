@@ -260,3 +260,24 @@ def test_lit_dvec_matches_lit_elementwise(spark):
         pb = [struct.pack("<d", x) for x in row["b"]]
         assert pa == pb
         assert any(struct.unpack("<d", p)[0] != 0.0 for p in pa)  # non-trivial
+
+
+def test_ivf_train_non_finite_inputs_fail_loudly(spark):
+    """Garbage embeddings must fail loudly, never silently corrupt
+    centroids.  Any non-finite coordinate (and any magnitude big enough to
+    overflow the norm/dot folds — |x| ≳ 1.3e154 at dim 8) turns the rounded
+    cosine NaN in the FIRST assignment, where the ANSI long-cast raises a
+    CAST_OVERFLOW that names NaN explicitly.  An inf CENTROID is
+    arithmetically unreachable past that gate: overflowing avg's sum would
+    need group_count × |x| > 1.8e308 with |x| small enough that the same
+    row's norm stayed finite — ~1e154 rows.  (A NaN/inf centroid handed
+    DIRECTLY to ivf_topk still plan-builds — _lit_dvec renders CAST
+    literals — and dies with the same actionable NaN cast error, not
+    UNRESOLVED_COLUMN.)"""
+    rows = [("v%d" % i, [float(i + j + 1) for j in range(8)]) for i in range(20)]
+    for bad in ([float("nan")] + [1.0] * 7, [1.7e308] * 8):
+        df = spark.createDataFrame(
+            rows + [("bad", bad)], "vec_id string, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="NaN"):
+            simi.ivf_train(df, dim=8, k=2, iters=1)
