@@ -227,7 +227,10 @@ def await_quiet_window(
     always RUNS eventually: a degraded number with a 'degraded' stamp beats
     no number, and the stamp makes cross-round comparison mechanical."""
     if max_attempts is None:
-        max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ATTEMPTS", "8"))
+        # default worst case ≈ 3 sleeps + 4 probes ≈ 5 min before the bench
+        # itself runs (degraded-stamped) — bounded well under any plausible
+        # per-round driver timeout; raise via env for interactive re-records
+        max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ATTEMPTS", "4"))
     probe_fn = probe_fn or calibration_probe
     sleep_fn = sleep_fn or time.sleep
     probes = [probe_fn()]
